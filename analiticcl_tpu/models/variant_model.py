@@ -1,0 +1,988 @@
+"""The VariantModel engine: loaders, index build, variant querying, ranking.
+
+Parity target: /root/reference/src/lib.rs (VariantModel). The architecture is
+TPU-first rather than a port:
+
+  * ``build()`` produces a dense *array index*: the count-vector matrix of all
+    indexed entries in a canonical order (sorted by prime-product anagram value
+    then vocab id, matching the reference's BTreeSet iteration order,
+    lib.rs:1149 + insertion order in nodes), plus padded normalized strings,
+    frequencies, and casing flags.
+  * candidate retrieval is an L1-ball query over that matrix. This is exactly
+    the set the reference's deletion-BFS + insertion sweep explores
+    (lib.rs:1143-1308): an index entry is reachable within ``k`` anagram
+    insertions/deletions iff the L1 distance between count vectors is <= k.
+  * batched queries run on the device (see ops/pipeline.py); a numpy/scalar
+    oracle path implements the same semantics for parity testing and tiny
+    models.
+
+Scoring, ranking, crops, variant expansion, and confusable rescoring follow
+lib.rs:1405-1756 exactly.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..alphabet import Alphabet, AlphabetEncoder, read_alphabet_file
+from ..anahash import counts_to_anavalue
+from ..confusables import Confusable
+from ..editscript import shortest_edit_script
+from ..ops import distance as dist_oracle
+from ..search import (
+    ContextRule,
+    Match,
+    PatternMatch,
+    PatternMatchResult,
+    SequenceHyp,
+    TRANSITION_SMOOTHING_LOGPROB,
+)
+from ..types import (
+    Distance,
+    MAX_ANAGRAM_DISTANCE,
+    MAX_EDIT_DISTANCE,
+    SearchParameters,
+    StopCriterion,
+    VariantReference,
+    VariantReferenceKind,
+    VariantResult,
+    VocabId,
+    Weights,
+    rank_results,
+)
+from ..vocab import (
+    BOS,
+    EOS,
+    UNK,
+    FrequencyHandling,
+    VocabParams,
+    VocabType,
+    VocabValue,
+    init_vocab,
+)
+
+
+@dataclass
+class BuiltIndex:
+    """Dense array form of the anagram index, in canonical enumeration order.
+
+    Canonical order = ascending (prime-product anagram value, vocab id); ties
+    in scoring then break identically to the reference (stable sort over the
+    gather order, lib.rs:1311-1402 + 1527-1533).
+    """
+
+    vocab_ids: np.ndarray  # int64 [Ni]
+    counts: np.ndarray  # uint8  [Ni, A]
+    charcounts: np.ndarray  # int32  [Ni]
+    norms: np.ndarray  # uint16 [Ni, Lmax]
+    norm_lens: np.ndarray  # int32  [Ni]
+    freqs: np.ndarray  # float64[Ni]
+    first_lower: np.ndarray  # bool   [Ni]
+    max_norm_len: int
+    # anagram grouping (for get_anagram_instances / index dump)
+    group_lookup: Dict[bytes, Tuple[int, int]]
+    group_anavalues: List[int]  # bigint per group, ascending
+    group_ranges: List[Tuple[int, int]]
+
+    @property
+    def size(self) -> int:
+        return len(self.vocab_ids)
+
+
+class VariantModel:
+    """High-level model holding all data for variant matching (lib.rs:50-100)."""
+
+    def __init__(
+        self,
+        alphabet_file: Optional[str] = None,
+        weights: Optional[Weights] = None,
+        debug: int = 0,
+        alphabet: Optional[Alphabet] = None,
+    ):
+        if alphabet is None:
+            if alphabet_file is None:
+                raise ValueError("provide alphabet_file or alphabet")
+            alphabet = read_alphabet_file(alphabet_file)
+        self.alphabet: Alphabet = alphabet
+        self.enc = AlphabetEncoder(alphabet)
+        self.weights = weights if weights is not None else Weights()
+        self.debug = debug
+
+        self.decoder: List[VocabValue] = []
+        self.encoder: Dict[str, VocabId] = {}
+        init_vocab(self.decoder, self.encoder)
+
+        self.index: Optional[BuiltIndex] = None
+        self.ngrams: Dict[Tuple[VocabId, ...], int] = {}
+        self.freq_sum: List[int] = [0]
+        self.have_freq = False
+        self.have_lm = False
+        self.context_rules: List[ContextRule] = []
+        self.tags: List[str] = []
+        self.lexicons: List[str] = []
+        self.confusables: List[Confusable] = []
+        self.confusables_before_pruning = False
+        # device pipeline handle (set lazily; see ops/pipeline.py)
+        self._device = None
+        self._backend = "auto"  # auto | device | oracle
+
+    # ------------------------------------------------------------------
+    # Construction & loading
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def new_with_alphabet(
+        cls, alphabet: Alphabet, weights: Optional[Weights] = None, debug: int = 0
+    ) -> "VariantModel":
+        return cls(alphabet=alphabet, weights=weights, debug=debug)
+
+    def set_confusables_before_pruning(self) -> None:
+        self.confusables_before_pruning = True
+
+    def set_backend(self, backend: str) -> None:
+        """Select the query backend: 'auto', 'device' (JAX), or 'oracle' (numpy)."""
+        assert backend in ("auto", "device", "oracle")
+        self._backend = backend
+        self._device = None
+
+    def alphabet_size(self) -> int:
+        """Alphabet size incl. the UNK symbol (lib.rs:163-165)."""
+        return len(self.alphabet) + 1
+
+    def read_confusablelist(self, filename: str) -> None:
+        """TSV: sesdiff edit script + optional weight (lib.rs:414-441)."""
+        with open(filename, "r", encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                fields = line.split("\t")
+                weight = float(fields[1]) if len(fields) >= 2 else 1.0
+                self.add_to_confusables(fields[0], weight)
+
+    def add_to_confusables(self, editscript: str, weight: float) -> None:
+        self.confusables.append(Confusable.new(editscript, weight))
+
+    def read_vocabulary(self, filename: str, params: VocabParams) -> None:
+        """Read a lexicon TSV (lib.rs:519-568)."""
+        params = VocabParams(
+            text_column=params.text_column,
+            freq_column=params.freq_column,
+            freq_handling=params.freq_handling,
+            vocab_type=params.vocab_type,
+            index=len(self.lexicons),
+        )
+        with open(filename, "r", encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                fields = line.split("\t")
+                text = fields[params.text_column]
+                if params.freq_column is not None:
+                    if params.vocab_type.check(VocabType.INDEXED):
+                        self.have_freq = True
+                    if params.freq_column < len(fields):
+                        frequency = int(fields[params.freq_column])
+                    else:
+                        frequency = 1
+                else:
+                    frequency = 1
+                self.add_to_vocabulary(text, frequency, params)
+        self.lexicons.append(filename)
+
+    # alias matching the Python binding surface
+    read_lexicon = read_vocabulary
+
+    def read_variants(
+        self,
+        filename: str,
+        params: Optional[VocabParams] = None,
+        transparent: bool = False,
+    ) -> None:
+        """Read a weighted variant list (lib.rs:772-897)."""
+        if params is not None:
+            params = VocabParams(
+                text_column=params.text_column,
+                freq_column=params.freq_column,
+                freq_handling=params.freq_handling,
+                vocab_type=params.vocab_type,
+                index=len(self.lexicons),
+            )
+        else:
+            params = VocabParams(index=len(self.lexicons))
+        transparent_params = (
+            params.with_vocab_type(params.vocab_type | VocabType.TRANSPARENT)
+            if transparent
+            else params
+        )
+        has_freq: Optional[bool] = None
+        with open(filename, "r", encoding="utf-8") as f:
+            for linenr, line in enumerate(f, 1):
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                fields = line.split("\t")
+                reference = fields[0]
+                freq: Optional[int] = None
+                if has_freq is None:
+                    # autodetect frequency-bearing column layout (lib.rs:815-830)
+                    if (len(fields) - 2) % 3 == 0:
+                        try:
+                            freq = int(fields[1])
+                            has_freq = True
+                        except (ValueError, IndexError):
+                            freq = None
+                    else:
+                        has_freq = False
+                elif has_freq:
+                    freq = int(fields[1])
+                ref_id = self.add_to_vocabulary(reference, freq, params)
+                vparams = transparent_params if transparent else params
+                if has_freq:
+                    rest = fields[2:]
+                    for k in range(0, len(rest) - 2, 3):
+                        variant = rest[k]
+                        score = float(rest[k + 1])
+                        vfreq = int(rest[k + 2])
+                        self.add_variant(ref_id, variant, score, vfreq, vparams)
+                else:
+                    rest = fields[1:]
+                    for k in range(0, len(rest) - 1, 2):
+                        variant = rest[k]
+                        score = float(rest[k + 1])
+                        self.add_variant(ref_id, variant, score, None, vparams)
+        self.lexicons.append(filename)
+
+    def read_contextrules(self, filename: str) -> None:
+        """4-column TSV: pattern; score; tags; tagoffsets (lib.rs:570-656)."""
+        with open(filename, "r", encoding="utf-8") as f:
+            for linenr, line in enumerate(f, 1):
+                line = line.rstrip("\n")
+                if not line or line.startswith("#"):
+                    continue
+                fields = line.split("\t")
+                if len(fields) < 2:
+                    raise ValueError(
+                        f"Expected at least two columns in context rules file "
+                        f"{filename}, line {linenr}"
+                    )
+                pattern = fields[0]
+                if not pattern:
+                    continue
+                try:
+                    score = float(fields[1])
+                except ValueError:
+                    raise ValueError(
+                        "context rule score should be a floating point value "
+                        f"({filename}, line {linenr})"
+                    )
+                tag = (
+                    [w.strip() for w in fields[2].split(";") if w.strip()]
+                    if len(fields) > 2
+                    else []
+                )
+                tagoffset = (
+                    [w.strip() for w in fields[3].split(";") if w.strip()]
+                    if len(fields) > 3
+                    else []
+                )
+                if len(tag) == 1 and len(tagoffset) == 0:
+                    tagoffset.append("0:")
+                elif len(tag) != len(tagoffset):
+                    raise ValueError(
+                        "Multiple tags specified for a context rule; expected the "
+                        f"same number of tag offsets ({filename}, line {linenr})"
+                    )
+                self.add_contextrule(pattern, score, tag, tagoffset)
+
+    def add_contextrule(
+        self,
+        pattern: str,
+        score: float,
+        tag: Sequence[str],
+        tagoffset: Sequence[str],
+    ) -> None:
+        """Parse and register a context rule (lib.rs:658-764)."""
+        expressions = [s.strip() for s in pattern.split(";")]
+        parsed: List[PatternMatch] = [
+            PatternMatch.parse(expr, self.lexicons, self.encoder)
+            for expr in expressions
+        ]
+        tag_ids: List[int] = []
+        for t in tag:
+            if not t:
+                raise ValueError("tag is empty")
+            if t in self.tags:
+                tag_ids.append(self.tags.index(t))
+            else:
+                self.tags.append(t)
+                tag_ids.append(len(self.tags) - 1)
+        offsets: List[Tuple[int, int]] = []
+        for s in tagoffset:
+            fields = s.split(":")
+            tagbegin = int(fields[0]) if fields and fields[0] else 0
+            if len(fields) > 1 and fields[1]:
+                taglength = int(fields[1])
+            else:
+                taglength = len(parsed) - tagbegin
+            offsets.append((tagbegin, taglength))
+        while len(offsets) < len(tag_ids):
+            offsets.append((0, len(parsed)))
+        if parsed:
+            self.context_rules.append(
+                ContextRule(pattern=parsed, score=score, tag=tag_ids, tagoffset=offsets)
+            )
+
+    def add_to_vocabulary(
+        self, text: str, frequency: Optional[int], params: VocabParams
+    ) -> VocabId:
+        """Add/merge an entry (lib.rs:900-967)."""
+        frequency = frequency if frequency is not None else 1
+        vocab_id = self.encoder.get(text)
+        if vocab_id is not None:
+            item = self.decoder[vocab_id]
+            fh = params.freq_handling
+            if fh is FrequencyHandling.SUM:
+                item.frequency += frequency
+            elif fh is FrequencyHandling.MAX:
+                item.frequency = max(item.frequency, frequency)
+            elif fh is FrequencyHandling.MIN:
+                item.frequency = min(item.frequency, frequency)
+            else:
+                item.frequency = frequency
+            if vocab_id in (BOS, EOS, UNK):
+                item.vocabtype = VocabType.LM  # by definition (lib.rs:933-934)
+            elif item.vocabtype.check(VocabType.TRANSPARENT) and not params.vocab_type.check(
+                VocabType.TRANSPARENT
+            ):
+                # a later non-transparent lexicon removes transparency
+                item.vocabtype ^= VocabType.TRANSPARENT
+            item.lexindex |= 1 << params.index
+            return vocab_id
+        self.encoder[text] = len(self.decoder)
+        self.decoder.append(
+            VocabValue(
+                text=text,
+                norm=self.enc.normalize(text),
+                frequency=frequency,
+                tokencount=text.count(" ") + 1,
+                lexindex=1 << params.index,
+                variants=None,
+                vocabtype=params.vocab_type,
+            )
+        )
+        return len(self.decoder) - 1
+
+    def add_variant(
+        self,
+        ref_id: VocabId,
+        variant: str,
+        score: float,
+        freq: Optional[int],
+        params: VocabParams,
+    ) -> bool:
+        variantid = self.add_to_vocabulary(variant, freq, params)
+        return self.add_variant_by_id(ref_id, variantid, score)
+
+    def add_variant_by_id(
+        self, ref_id: VocabId, variantid: VocabId, score: float
+    ) -> bool:
+        """Create bidirectional variant links, first mention wins (lib.rs:478-514)."""
+        if variantid == ref_id:
+            return False
+        refitem = self.decoder[ref_id] if ref_id < len(self.decoder) else None
+        if refitem is not None:
+            ref = VariantReference(
+                VariantReferenceKind.REFERENCE_FOR, variantid, score
+            )
+            if refitem.variants is None:
+                refitem.variants = [ref]
+            elif not any(
+                v.kind is VariantReferenceKind.REFERENCE_FOR and v.vocab_id == variantid
+                for v in refitem.variants
+            ):
+                refitem.variants.append(ref)
+        varitem = self.decoder[variantid] if variantid < len(self.decoder) else None
+        if varitem is not None:
+            ref = VariantReference(VariantReferenceKind.VARIANT_OF, ref_id, score)
+            if varitem.variants is None:
+                varitem.variants = [ref]
+            elif not any(
+                v.kind is VariantReferenceKind.VARIANT_OF and v.vocab_id == variantid
+                for v in varitem.variants
+            ):
+                varitem.variants.append(ref)
+        return True
+
+    # ------------------------------------------------------------------
+    # Build
+    # ------------------------------------------------------------------
+
+    def build(self) -> None:
+        """Build the array index + language model (lib.rs:192-297)."""
+        A = self.alphabet_size()
+        entries: List[Tuple[int, VocabId]] = []  # (anavalue bigint, vocab id)
+        counts_rows: List[np.ndarray] = []
+        for vid, value in enumerate(self.decoder):
+            if value.vocabtype.check(VocabType.INDEXED):
+                counts = self._norm_to_counts(value.text, A)
+                entries.append((counts_to_anavalue(counts), vid))
+                counts_rows.append(counts)
+
+        if entries:
+            order = sorted(range(len(entries)), key=lambda i: entries[i])
+            vocab_ids = np.array([entries[i][1] for i in order], dtype=np.int64)
+            counts = np.stack([counts_rows[i] for i in order]).astype(np.uint8)
+            charcounts = counts.sum(axis=1, dtype=np.int32)
+            max_norm_len = max(
+                (len(self.decoder[int(v)].norm) for v in vocab_ids), default=1
+            )
+            max_norm_len = max(max_norm_len, 1)
+            norms = np.zeros((len(vocab_ids), max_norm_len), dtype=np.uint16)
+            norm_lens = np.zeros(len(vocab_ids), dtype=np.int32)
+            freqs = np.zeros(len(vocab_ids), dtype=np.float64)
+            first_lower = np.zeros(len(vocab_ids), dtype=bool)
+            for row, vid in enumerate(vocab_ids):
+                item = self.decoder[int(vid)]
+                norm = item.norm
+                norm_lens[row] = len(norm)
+                norms[row, : len(norm)] = norm
+                freqs[row] = item.frequency
+                first_lower[row] = item.text[:1].islower() if item.text else False
+            # group by anagram value (entries are sorted, so groups are runs)
+            group_lookup: Dict[bytes, Tuple[int, int]] = {}
+            group_anavalues: List[int] = []
+            group_ranges: List[Tuple[int, int]] = []
+            start = 0
+            for row in range(1, len(order) + 1):
+                if row == len(order) or entries[order[row]][0] != entries[order[start]][0]:
+                    key = counts[start].tobytes()
+                    group_lookup[key] = (start, row)
+                    group_anavalues.append(entries[order[start]][0])
+                    group_ranges.append((start, row))
+                    start = row
+            self.index = BuiltIndex(
+                vocab_ids=vocab_ids,
+                counts=counts,
+                charcounts=charcounts,
+                norms=norms,
+                norm_lens=norm_lens,
+                freqs=freqs,
+                first_lower=first_lower,
+                max_norm_len=max_norm_len,
+                group_lookup=group_lookup,
+                group_anavalues=group_anavalues,
+                group_ranges=group_ranges,
+            )
+        else:
+            self.index = None
+        self._device = None  # invalidate any device copy
+
+        # --- language model construction (lib.rs:247-297) ---
+        self.ngrams.clear()
+        self.freq_sum = [0]
+        unseen_parts: Dict[str, VocabId] = {}
+        for vid in range(len(self.decoder)):
+            if self.decoder[vid].vocabtype.check(VocabType.LM):
+                ngram = self.into_ngram(vid, unseen_parts)
+                if ngram is None:  # order > 5: reference errors out and skips
+                    continue
+                freq = self.decoder[vid].frequency
+                if len(ngram) > 1:
+                    while len(self.freq_sum) < len(ngram):
+                        self.freq_sum.append(0)
+                    self.freq_sum[len(ngram) - 1] += freq
+                else:
+                    self.freq_sum[0] += freq
+                self.add_ngram(ngram, freq)
+        for part, vid in unseen_parts.items():
+            self.add_ngram((vid,), 1)
+            self.encoder[part] = vid
+            # mirror VocabValue::new (vocab.rs:64-75): tokencount counts spaces
+            self.decoder.append(
+                VocabValue(
+                    text=part,
+                    norm=[],
+                    frequency=1,
+                    tokencount=part.count(" "),
+                    lexindex=0,
+                    variants=None,
+                    vocabtype=VocabType.LM,
+                )
+            )
+        self.have_lm = bool(self.ngrams)
+
+    def _norm_to_counts(self, text: str, alphabet_size: int) -> np.ndarray:
+        return self.enc.count_vector(text)
+
+    # ------------------------------------------------------------------
+    # Lookups / accessors (lib.rs:299-360, 2756-2813)
+    # ------------------------------------------------------------------
+
+    def contains_anagram(self, counts: np.ndarray) -> bool:
+        return self.index is not None and counts.tobytes() in self.index.group_lookup
+
+    def get_anagram_instances(self, text: str) -> List[VocabValue]:
+        if self.index is None:
+            return []
+        key = self.enc.count_vector(text).tobytes()
+        rng = self.index.group_lookup.get(key)
+        if rng is None:
+            return []
+        return [
+            self.decoder[int(self.index.vocab_ids[i])] for i in range(rng[0], rng[1])
+        ]
+
+    def get(self, text: str) -> Optional[VocabValue]:
+        for instance in self.get_anagram_instances(text):
+            if instance.text == text:
+                return instance
+        return None
+
+    def has(self, text: str) -> bool:
+        return self.get(text) is not None
+
+    def get_vocab(self, vocab_id: VocabId) -> Optional[VocabValue]:
+        if 0 <= vocab_id < len(self.decoder):
+            return self.decoder[vocab_id]
+        return None
+
+    def __contains__(self, text: str) -> bool:
+        return self.has(text)
+
+    # ------------------------------------------------------------------
+    # Query: find_variants (lib.rs:969-1027)
+    # ------------------------------------------------------------------
+
+    def find_variants(
+        self, input_text: str, params: SearchParameters
+    ) -> List[VariantResult]:
+        return self.find_variants_batch([input_text], params)[0]
+
+    def find_variants_batch(
+        self, inputs: Sequence[str], params: SearchParameters
+    ) -> List[List[VariantResult]]:
+        """Batched variant lookup; the TPU-native replacement for per-input
+        rayon parallelism (reference bin:416-482)."""
+        if self.index is None:
+            print(
+                "ERROR: Model has not been built yet! Call build() before "
+                "find_variants()",
+                file=sys.stderr,
+            )
+            return [[] for _ in inputs]
+        backend = self._backend
+        if backend == "auto":
+            backend = "device" if len(self.index.vocab_ids) >= 64 else "oracle"
+        if backend == "device":
+            from ..ops.pipeline import get_device_pipeline
+
+            if self._device is None:
+                self._device = get_device_pipeline(self)
+            return self._device.find_variants_batch(inputs, params)
+        return [self._find_variants_oracle(text, params) for text in inputs]
+
+    def _resolve_distances(
+        self, normstring_len: int, params: SearchParameters
+    ) -> Tuple[int, int]:
+        """Per-input absolute anagram/edit distances (lib.rs:982-1012)."""
+        k_ana = params.max_anagram_distance.resolve(normstring_len, MAX_ANAGRAM_DISTANCE)
+        k_ed = params.max_edit_distance.resolve(normstring_len, MAX_EDIT_DISTANCE)
+        return k_ana, k_ed
+
+    def _find_variants_oracle(
+        self, input_text: str, params: SearchParameters
+    ) -> List[VariantResult]:
+        """Reference-mirroring host path (numpy retrieval + scalar DL)."""
+        index = self.index
+        assert index is not None
+        normstring = self.enc.normalize(input_text)
+        if not normstring:
+            return []
+        q = self.enc.count_vector(input_text)
+        k_ana, k_ed = self._resolve_distances(len(normstring), params)
+
+        d = np.abs(index.counts.astype(np.int32) - q.astype(np.int32)).sum(axis=1)
+        if (
+            params.stop_criterion is StopCriterion.STOP_AT_EXACT_MATCH
+            and (d == 0).any()
+        ):
+            mask = d == 0
+        else:
+            mask = d <= k_ana
+        rows = np.nonzero(mask)[0]  # canonical order preserved
+
+        instances: List[Tuple[VocabId, Distance]] = []
+        q_first_lower = input_text[:1].islower() if input_text else False
+        w = self.weights
+        for row in rows:
+            vid = int(index.vocab_ids[row])
+            item = self.decoder[vid]
+            ld = dist_oracle.damerau_levenshtein(normstring, item.norm, k_ed)
+            if ld is None:
+                continue
+            instances.append(
+                (
+                    vid,
+                    Distance(
+                        ld=ld,
+                        lcs=(
+                            dist_oracle.longest_common_substring_length(
+                                normstring, item.norm
+                            )
+                            if w.lcs > 0.0
+                            else 0
+                        ),
+                        prefixlen=(
+                            dist_oracle.common_prefix_length(normstring, item.norm)
+                            if w.prefix > 0.0
+                            else 0
+                        ),
+                        suffixlen=(
+                            dist_oracle.common_suffix_length(normstring, item.norm)
+                            if w.suffix > 0.0
+                            else 0
+                        ),
+                        samecase=(
+                            (item.text[:1].islower() == q_first_lower)
+                            if w.case > 0.0
+                            else True
+                        ),
+                    ),
+                )
+            )
+        return self.score_and_rank(
+            instances,
+            input_text,
+            len(normstring),
+            params.max_matches,
+            params.score_threshold,
+            params.cutoff_threshold,
+            params.freq_weight,
+        )
+
+    # ------------------------------------------------------------------
+    # Scoring & ranking (lib.rs:1404-1756)
+    # ------------------------------------------------------------------
+
+    def score_and_rank(
+        self,
+        instances: List[Tuple[VocabId, Distance]],
+        input_text: str,
+        input_length: int,
+        max_matches: int,
+        score_threshold: float,
+        cutoff_threshold: float,
+        freq_weight: float,
+    ) -> List[VariantResult]:
+        results: List[VariantResult] = []
+        max_freq = 0.0
+        has_expandable = False
+        weights_sum = self.weights.sum()
+        assert input_length > 0
+
+        for vocab_id, distance in instances:
+            item = self.get_vocab(vocab_id)
+            if item is None:
+                continue
+            if distance.ld > input_length:
+                distance_score = 0.0
+            else:
+                distance_score = 1.0 - distance.ld / input_length
+            lcs_score = distance.lcs / input_length
+            prefix_score = distance.prefixlen / input_length
+            suffix_score = distance.suffixlen / input_length
+            score = (
+                self.weights.ld * distance_score
+                + self.weights.lcs * lcs_score
+                + self.weights.prefix * prefix_score
+                + self.weights.suffix * suffix_score
+                + (self.weights.case if distance.samecase else 0.0)
+            ) / weights_sum
+            freq_score = float(item.frequency) if self.have_freq else 1.0
+            if freq_score > max_freq:
+                max_freq = freq_score
+            if not has_expandable and item.variants is not None:
+                has_expandable = True
+            if math.isnan(score):
+                raise ValueError(f"Invalid score (NaN) for variant={item.text}")
+            if score >= score_threshold:
+                results.append(
+                    VariantResult(
+                        vocab_id=vocab_id,
+                        dist_score=score,
+                        freq_score=freq_score,
+                        via=None,
+                    )
+                )
+
+        return self._rank_tail(
+            results,
+            input_text,
+            max_matches,
+            cutoff_threshold,
+            freq_weight,
+            max_freq,
+            has_expandable,
+        )
+
+    def _rank_tail(
+        self,
+        results: List[VariantResult],
+        input_text: str,
+        max_matches: int,
+        cutoff_threshold: float,
+        freq_weight: float,
+        max_freq: float,
+        has_expandable: bool,
+    ) -> List[VariantResult]:
+        """The post-scoring tail of score_and_rank (lib.rs:1505-1652): early
+        confusables, expansion, freq normalization, ranking, tie-aware crop,
+        late confusables, cutoff threshold."""
+        if self.confusables and self.confusables_before_pruning:
+            self.rescore_confusables(results, input_text)
+
+        if has_expandable:
+            results = self.expand_variants(results)
+            for result in results:
+                if result.freq_score > max_freq:
+                    max_freq = result.freq_score
+
+        if max_freq > 0.0:
+            for result in results:
+                result.freq_score = result.freq_score / max_freq
+
+        rank_results(results, freq_weight)
+
+        if has_expandable:
+            # remove consecutive duplicates (Rust dedup_by_key semantics)
+            deduped: List[VariantResult] = []
+            for r in results:
+                if not deduped or deduped[-1].vocab_id != r.vocab_id:
+                    deduped.append(r)
+            results = deduped
+
+        # crop at max_matches with tie handling (lib.rs:1536-1589)
+        if 0 < max_matches < len(results):
+            last_score = results[max_matches - 1].score(freq_weight)
+            cropped_score = results[max_matches].score(freq_weight)
+            if cropped_score < last_score:
+                del results[max_matches:]
+            else:
+                early_cutoff = 0
+                late_cutoff = 0
+                for i, result in enumerate(results):
+                    if result.dist_score == cropped_score and early_cutoff == 0:
+                        early_cutoff = i
+                    if result.dist_score < cropped_score:
+                        late_cutoff = i
+                        break
+                if early_cutoff > 0:
+                    del results[early_cutoff + 1 :]
+                elif late_cutoff > 0:
+                    del results[late_cutoff + 1 :]
+
+        if self.confusables and not self.confusables_before_pruning:
+            self.rescore_confusables(results, input_text)
+            rank_results(results, freq_weight)
+
+        # cutoff threshold (lib.rs:1597-1622)
+        cutoff = 0
+        bestscore: Optional[float] = None
+        if cutoff_threshold >= 1.0:
+            for i, result in enumerate(results):
+                if bestscore is not None:
+                    if result.score(freq_weight) <= bestscore / cutoff_threshold:
+                        cutoff = i
+                        break
+                else:
+                    bestscore = result.score(freq_weight)
+        if cutoff > 0:
+            del results[cutoff:]
+        return results
+
+    def rescore_confusables(
+        self, results: List[VariantResult], input_text: str
+    ) -> None:
+        """Multiply in confusable weights (lib.rs:1656-1663)."""
+        for result in results:
+            result.dist_score *= self.compute_confusable_weight(
+                input_text, result.vocab_id
+            )
+
+    def compute_confusable_weight(self, input_text: str, candidate: VocabId) -> float:
+        """Product of weights of confusables matching the edit script between
+        input and candidate (lib.rs:1729-1756)."""
+        weight = 1.0
+        item = self.get_vocab(candidate)
+        if item is not None:
+            editscript = shortest_edit_script(input_text, item.text)
+            for confusable in self.confusables:
+                if confusable.found_in(editscript):
+                    weight *= confusable.weight
+        return weight
+
+    def expand_variants(self, results: List[VariantResult]) -> List[VariantResult]:
+        """Follow VariantOf links; drop TRANSPARENT originals (lib.rs:1677-1727)."""
+        new_results: List[VariantResult] = []
+        for result in results:
+            item = self.decoder[result.vocab_id]
+            if item.variants is not None:
+                for variantref in item.variants:
+                    if variantref.kind is VariantReferenceKind.VARIANT_OF:
+                        target = self.decoder[variantref.vocab_id]
+                        new_results.append(
+                            VariantResult(
+                                vocab_id=variantref.vocab_id,
+                                dist_score=result.dist_score * variantref.score,
+                                freq_score=min(
+                                    float(target.frequency), result.freq_score
+                                ),
+                                via=result.vocab_id,
+                            )
+                        )
+            if not item.vocabtype.check(VocabType.TRANSPARENT):
+                new_results.append(result)
+        return new_results
+
+    # ------------------------------------------------------------------
+    # Language model (lib.rs:2578-2754)
+    # ------------------------------------------------------------------
+
+    def add_ngram(self, ngram: Tuple[VocabId, ...], frequency: int) -> None:
+        self.ngrams[ngram] = self.ngrams.get(ngram, 0) + frequency
+
+    def into_ngram(
+        self, word: VocabId, unseen_parts: Optional[Dict[str, VocabId]]
+    ) -> Optional[Tuple[VocabId, ...]]:
+        """Decompose a vocab entry into token ids (lib.rs:2687-2729).
+        Returns None for orders above 5 (reference errors out)."""
+        item = self.decoder[word]
+        n = item.tokencount
+        if n == 0:
+            return ()
+        if n > 5:
+            return None
+        parts = item.text.split(" ")
+        return tuple(
+            self.encode_token(parts[i], True, unseen_parts) for i in range(n)
+        )
+
+    def encode_token(
+        self,
+        token: str,
+        use_unk: bool,
+        unseen: Optional[Dict[str, VocabId]],
+    ) -> VocabId:
+        """lib.rs:2731-2754."""
+        vid = self.encoder.get(token)
+        if vid is not None:
+            return vid
+        if use_unk:
+            return UNK
+        if unseen is not None:
+            if token in unseen:
+                return unseen[token]
+            vid = len(self.decoder) + len(unseen)
+            unseen[token] = vid
+            return vid
+        raise KeyError(f"Token does not exist in vocabulary: {token}")
+
+    def lm_score_tokens(
+        self, tokens: List[Optional[VocabId]]
+    ) -> Tuple[float, float]:
+        """Sliding-bigram log-probability + perplexity (lib.rs:2630-2674)."""
+        logprob = 0.0
+        n = 0
+        for i in range(1, len(tokens)):
+            t0, t1 = tokens[i - 1], tokens[i]
+            if t0 is not None and t1 is not None:
+                prior = (t0,)
+                bigram = (t0, t1)
+                priorcount = self.ngrams.get(prior, 1)
+                jointcount = self.ngrams.get(bigram)
+                if jointcount is not None:
+                    if priorcount < jointcount:
+                        logprob += math.log(jointcount)
+                    else:
+                        logprob += math.log(jointcount / priorcount)
+                else:
+                    logprob += TRANSITION_SMOOTHING_LOGPROB
+                n += 1
+            else:
+                n += 1
+                logprob += TRANSITION_SMOOTHING_LOGPROB
+        perplexity = -1.0 / n * logprob if n else 0.0
+        return logprob, perplexity
+
+    def lm_score(
+        self, sequence: SequenceHyp, boundaries: Sequence[Match]
+    ) -> Tuple[float, float]:
+        """Expand a sequence into tokens and score it (lib.rs:2578-2628)."""
+        tokens: List[Optional[VocabId]] = [BOS]
+        for output_symbol in sequence.output_symbols:
+            next_boundary = boundaries[output_symbol.boundary_index]
+            if output_symbol.vocab_id == 0:
+                tokens.append(None)  # out-of-vocabulary, copied from input
+            else:
+                ngram = self.into_ngram(output_symbol.vocab_id, None)
+                if ngram is not None:
+                    tokens.extend(ngram)
+            btext = next_boundary.text.strip()
+            if btext:
+                vid = self.encoder.get(btext)
+                if vid is not None:
+                    ngram = self.into_ngram(vid, None)
+                    if ngram is not None:
+                        tokens.extend(ngram)
+                else:
+                    tokens.append(None)
+        tokens.append(EOS)
+        return self.lm_score_tokens(tokens)
+
+    def test_context_rules(
+        self, sequence: SequenceHyp
+    ) -> Tuple[float, List[List[PatternMatchResult]]]:
+        """Apply context rules over a sequence (lib.rs:2501-2576)."""
+        seq: List[Tuple[VocabId, int]] = []
+        for output_symbol in sequence.output_symbols:
+            if output_symbol.vocab_id == 0:
+                seq.append((0, 0))
+            else:
+                item = self.get_vocab(output_symbol.vocab_id)
+                seq.append(
+                    (output_symbol.vocab_id, item.lexindex if item is not None else 0)
+                )
+        sequence_results: List[List[PatternMatchResult]] = [[] for _ in seq]
+        found = False
+        for begin in range(len(seq)):
+            for context_rule in self.context_rules:
+                if context_rule.matches(seq, begin, sequence_results):
+                    found = True
+        if not found:
+            return 1.0, sequence_results
+        total = sum(x[0].score if x else 1.0 for x in sequence_results)
+        return total / len(seq), sequence_results
+
+    # ------------------------------------------------------------------
+    # Helpers used by search mode & output
+    # ------------------------------------------------------------------
+
+    def match_to_vocabvalue(self, m: Match) -> Optional[VocabValue]:
+        solution = m.solution()
+        if solution is not None:
+            return self.get_vocab(solution.vocab_id)
+        return None
+
+    def match_to_str(self, m: Match) -> str:
+        value = self.match_to_vocabvalue(m)
+        return value.text if value is not None else m.text
+
+    def ngram_to_str(self, ngram: Tuple[VocabId, ...]) -> str:
+        return " ".join(self.decoder[v].text for v in ngram)

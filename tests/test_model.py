@@ -1,0 +1,196 @@
+"""Model build/query/scoring parity tests (reference tests/main.rs 04xx, 05xx, 08xx)."""
+
+import pytest
+
+from analiticcl_tpu.models.variant_model import VariantModel
+from analiticcl_tpu.types import DistanceThreshold, VariantReference, Weights
+from analiticcl_tpu.vocab import VocabParams, VocabType
+
+from fixtures import get_test_alphabet, get_test_searchparams
+
+LEXICON = ["rites", "tiers", "tires", "tries", "tyres", "rides", "brides", "dire"]
+
+
+def build_model(lexicon=LEXICON, debug=0):
+    alphabet, _ = get_test_alphabet()
+    model = VariantModel.new_with_alphabet(alphabet, Weights(), debug)
+    for text in lexicon:
+        model.add_to_vocabulary(text, None, VocabParams())
+    model.build()
+    return model
+
+
+def texts(model, results):
+    return [model.decoder[r.vocab_id].text for r in results]
+
+
+def test0400_model_load():
+    alphabet, _ = get_test_alphabet()
+    VariantModel.new_with_alphabet(alphabet, Weights(), 1)
+
+
+def test0401_model_build():
+    model = build_model()
+    assert model.has("rites")
+    for text in LEXICON:
+        assert model.has(text)
+        assert model.get(text) is not None
+    assert not model.has("unknown")
+    assert model.get("unknown") is None
+
+
+def test0402_model_anagrams():
+    model = build_model()
+    assert [v.text for v in model.get_anagram_instances("rites")] == [
+        "rites",
+        "tiers",
+        "tires",
+        "tries",
+    ]
+
+
+def test0403_model_query():
+    model = build_model()
+    model.find_variants("rite", get_test_searchparams())
+
+
+def test0404_score_test():
+    """Tied results must come out in deterministic canonical order
+    (tests/main.rs:872-911)."""
+    model = build_model(["huis", "huls"])
+    results = model.find_variants("huys", get_test_searchparams())
+    assert len(results) == 2
+    assert model.decoder[results[0].vocab_id].text == "huis"
+    assert model.decoder[results[1].vocab_id].text == "huls"
+    assert results[0].vocab_id != results[1].vocab_id
+    assert results[0].dist_score == results[1].dist_score
+    assert results[0].freq_score == results[1].freq_score
+
+
+def test0405_exact_match_score_one():
+    model = build_model()
+    results = model.find_variants("rites", get_test_searchparams())
+    assert model.decoder[results[0].vocab_id].text == "rites"
+    assert results[0].dist_score == 1.0
+
+
+def test0502_confusable_test():
+    model_alphabet, _ = get_test_alphabet()
+    model = VariantModel.new_with_alphabet(model_alphabet, Weights(), 0)
+    for text in ["huis", "huls"]:
+        model.add_to_vocabulary(text, None, VocabParams())
+    model.add_to_confusables("-[y]+[i]", 1.1)
+    model.build()
+    results = model.find_variants("huys", get_test_searchparams())
+    assert model.decoder[results[0].vocab_id].text == "huis"
+    assert model.decoder[results[1].vocab_id].text == "huls"
+    assert results[0].dist_score > results[1].dist_score
+
+
+def test0503_confusable_test2():
+    model_alphabet, _ = get_test_alphabet()
+    model = VariantModel.new_with_alphabet(model_alphabet, Weights(), 0)
+    for text in ["huis", "huls"]:
+        model.add_to_vocabulary(text, None, VocabParams())
+    model.add_to_confusables("-[y]+[i]", 1.1)
+    model.build()
+    results = model.find_variants("Huys", get_test_searchparams())
+    assert model.decoder[results[0].vocab_id].text == "huis"
+    assert model.decoder[results[1].vocab_id].text == "huls"
+    assert results[0].dist_score > results[1].dist_score
+
+
+def test0504_confusable_nomatch():
+    model_alphabet, _ = get_test_alphabet()
+    model = VariantModel.new_with_alphabet(model_alphabet, Weights(), 0)
+    for text in ["huis", "huls"]:
+        model.add_to_vocabulary(text, None, VocabParams())
+    model.add_to_confusables("-[y]+[p]", 1.1)
+    model.build()
+    results = model.find_variants("Huys", get_test_searchparams())
+    assert len(results) == 2
+    assert results[0].dist_score == results[1].dist_score
+
+
+def test0801_expand_variants():
+    model_alphabet, _ = get_test_alphabet()
+    model = VariantModel.new_with_alphabet(model_alphabet, Weights(), 0)
+    vocab_id = model.add_to_vocabulary("afgescheid", None, VocabParams())
+    model.add_variant(
+        vocab_id,
+        "afghescheydt",
+        1.0,
+        None,
+        VocabParams().with_vocab_type(VocabType.INDEXED | VocabType.TRANSPARENT),
+    )
+    model.build()
+    params = get_test_searchparams()
+    params.max_anagram_distance = DistanceThreshold.absolute(2)
+    params.max_edit_distance = DistanceThreshold.absolute(2)
+    results = model.find_variants("afgheschaydt", params)
+    assert len(results) == 1
+    assert model.decoder[results[0].vocab_id].text == "afgescheid"
+
+
+def test_freq_tiebreak():
+    """Equal-distance results tie-break on frequency (types.rs:344-365)."""
+    alphabet, _ = get_test_alphabet()
+    model = VariantModel.new_with_alphabet(alphabet, Weights(), 0)
+    model.add_to_vocabulary("huls", 5, VocabParams())
+    model.add_to_vocabulary("huis", 50, VocabParams())
+    # have_freq is only flipped by read_vocabulary with a freq column
+    # (lib.rs:544-547); set it explicitly for in-memory construction
+    model.have_freq = True
+    model.build()
+    results = model.find_variants("huys", get_test_searchparams())
+    assert texts(model, results) == ["huis", "huls"]
+    assert results[0].freq_score == 1.0
+    assert results[1].freq_score == 0.1
+
+
+def test_score_threshold_prunes():
+    model = build_model()
+    params = get_test_searchparams().with_score_threshold(0.99)
+    results = model.find_variants("rite", params)
+    assert results == []
+
+
+def test_cutoff_threshold():
+    alphabet, _ = get_test_alphabet()
+    model = VariantModel.new_with_alphabet(alphabet, Weights(), 0)
+    model.add_to_vocabulary("night", None, VocabParams())
+    model.add_to_vocabulary("naught", None, VocabParams())
+    model.build()
+    params = get_test_searchparams().with_cutoff_threshold(1.05)
+    results = model.find_variants("night", params)
+    assert texts(model, results) == ["night"]
+
+
+def test_max_matches_crop():
+    words = ["aaab", "aaac", "aaad", "aaae", "aaaf", "aaag"]
+    model = build_model(words)
+    params = get_test_searchparams().with_max_matches(3)
+    results = model.find_variants("aaa", params)
+    # All six candidates tie. The reference's tie-aware crop (lib.rs:1555-1588)
+    # has a quirk: early_cutoff=0 at i=0 is a no-op so the condition re-fires
+    # at i=1, truncating to early_cutoff+1 == 2 results. We reproduce that.
+    assert len(results) == 2
+    scores = [r.dist_score for r in results]
+    assert all(s == scores[0] for s in scores)
+    # without a crop, all six tied candidates come back
+    results_all = model.find_variants("aaa", get_test_searchparams())
+    assert len(results_all) == 6
+
+
+def test_stop_at_exact_match():
+    from analiticcl_tpu.types import StopCriterion
+    import dataclasses
+
+    model = build_model()
+    params = dataclasses.replace(
+        get_test_searchparams(), stop_criterion=StopCriterion.STOP_AT_EXACT_MATCH
+    )
+    results = model.find_variants("rites", params)
+    # only anagrams of "rites" are considered
+    assert set(texts(model, results)) <= {"rites", "tiers", "tires", "tries"}
+    assert model.decoder[results[0].vocab_id].text == "rites"
