@@ -680,9 +680,14 @@ class VariantModel:
         score_threshold: float,
         cutoff_threshold: float,
         freq_weight: float,
+        max_freq_floor: float = 0.0,
     ) -> List[VariantResult]:
+        """``max_freq_floor`` lets the device pipeline report the maximum
+        frequency among above-threshold candidates that were cropped before
+        reaching the host (frequency normalization, lib.rs:1521-1525, must see
+        the full above-threshold set)."""
         results: List[VariantResult] = []
-        max_freq = 0.0
+        max_freq = max_freq_floor
         has_expandable = False
         weights_sum = self.weights.sum()
         assert input_length > 0

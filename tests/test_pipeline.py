@@ -1,0 +1,159 @@
+"""Device pipeline vs host oracle parity, and DL kernel numerics."""
+
+import random
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from analiticcl_tpu.models.variant_model import VariantModel
+from analiticcl_tpu.ops import distance as oracle
+from analiticcl_tpu.ops.dl_jax import PAD_A, PAD_B, dl_metrics_batch
+from analiticcl_tpu.types import DistanceThreshold, SearchParameters, Weights
+from analiticcl_tpu.vocab import VocabParams
+
+from fixtures import get_test_alphabet, get_test_searchparams
+
+ENG_LEXICON = "/root/reference/examples/eng.aspell.lexicon"
+SIMPLE_ALPHABET = "/root/reference/examples/simple.alphabet.tsv"
+
+
+def test_dl_kernel_parity_random():
+    random.seed(7)
+    L = 24
+    P = 256
+    pairs = []
+    for _ in range(P):
+        la = random.randint(0, L)
+        lb = random.randint(0, L)
+        pairs.append(
+            (
+                [random.randint(0, 4) for _ in range(la)],
+                [random.randint(0, 4) for _ in range(lb)],
+            )
+        )
+    a = np.full((P, L), PAD_A, np.int32)
+    b = np.full((P, L), PAD_B, np.int32)
+    al = np.zeros(P, np.int32)
+    bl = np.zeros(P, np.int32)
+    for i, (A, B) in enumerate(pairs):
+        a[i, : len(A)] = A
+        b[i, : len(B)] = B
+        al[i] = len(A)
+        bl[i] = len(B)
+    ld, lcs, pf, sf = dl_metrics_batch(
+        jnp.array(a), jnp.array(al), jnp.array(b), jnp.array(bl), L
+    )
+    for i, (A, B) in enumerate(pairs):
+        assert int(ld[i]) == oracle.damerau_levenshtein(A, B, 999)
+        assert int(lcs[i]) == oracle.longest_common_substring_length(A, B)
+        assert int(pf[i]) == oracle.common_prefix_length(A, B)
+        assert int(sf[i]) == oracle.common_suffix_length(A, B)
+
+
+def _result_tuples(model, results):
+    return [
+        (model.decoder[r.vocab_id].text, round(r.dist_score, 12), round(r.freq_score, 12), r.via)
+        for r in results
+    ]
+
+
+@pytest.fixture(scope="module")
+def eng_model(tmp_path_factory):
+    # a 25k-word slice of the real lexicon keeps CPU CI fast while still
+    # exercising the full retrieval + scoring stack at realistic scale
+    words = []
+    with open(ENG_LEXICON, "r", encoding="utf-8") as f:
+        for i, line in enumerate(f):
+            if i % 5 == 0:
+                words.append(line)
+    subset = tmp_path_factory.mktemp("lex") / "eng_subset.tsv"
+    subset.write_text("".join(words))
+    model = VariantModel(alphabet_file=SIMPLE_ALPHABET)
+    model.read_vocabulary(str(subset), VocabParams())
+    model.build()
+    return model
+
+
+QUERIES = [
+    "theere",
+    "seperate",
+    "recieve",
+    "apox",
+    "xylophone",
+    "Amsterdam",
+    "hous",
+    "howse",
+    "a",
+    "zzzzz",
+    "qwrtp",
+    "misspeling",
+    "ACCOMODATE",
+]
+
+
+def test_device_oracle_parity_eng(eng_model):
+    params = SearchParameters(
+        max_anagram_distance=DistanceThreshold.absolute(3),
+        max_edit_distance=DistanceThreshold.absolute(2),
+        max_matches=10,
+        score_threshold=0.25,
+    )
+    eng_model.set_backend("oracle")
+    want = [eng_model.find_variants(q, params) for q in QUERIES]
+    eng_model.set_backend("device")
+    got = eng_model.find_variants_batch(QUERIES, params)
+    for q, w, g in zip(QUERIES, want, got):
+        assert _result_tuples(eng_model, g) == _result_tuples(eng_model, w), q
+
+
+def test_device_oracle_parity_freq_ranking(eng_model):
+    params = SearchParameters(
+        max_anagram_distance=DistanceThreshold.absolute(3),
+        max_edit_distance=DistanceThreshold.absolute(3),
+        max_matches=10,
+        score_threshold=0.5,
+        freq_weight=1.0,
+    )
+    queries = QUERIES[:6]
+    eng_model.set_backend("oracle")
+    want = [eng_model.find_variants(q, params) for q in queries]
+    eng_model.set_backend("device")
+    got = eng_model.find_variants_batch(queries, params)
+    for q, w, g in zip(queries, want, got):
+        assert _result_tuples(eng_model, g) == _result_tuples(eng_model, w), q
+
+
+def test_device_oracle_parity_small_model():
+    alphabet, _ = get_test_alphabet()
+    model = VariantModel.new_with_alphabet(alphabet, Weights(), 0)
+    for text in ["rites", "tiers", "tires", "tries", "tyres", "rides", "brides", "dire"]:
+        model.add_to_vocabulary(text, None, VocabParams())
+    model.build()
+    params = get_test_searchparams()
+    model.set_backend("oracle")
+    want = [model.find_variants(q, params) for q in ["rite", "tire", "bride"]]
+    model.set_backend("device")
+    got = model.find_variants_batch(["rite", "tire", "bride"], params)
+    for w, g in zip(want, got):
+        assert _result_tuples(model, g) == _result_tuples(model, w)
+
+
+def test_device_stop_at_exact(eng_model):
+    import dataclasses
+
+    from analiticcl_tpu.types import StopCriterion
+
+    params = dataclasses.replace(
+        SearchParameters(
+            max_anagram_distance=DistanceThreshold.absolute(3),
+            max_edit_distance=DistanceThreshold.absolute(2),
+        ),
+        stop_criterion=StopCriterion.STOP_AT_EXACT_MATCH,
+    )
+    eng_model.set_backend("oracle")
+    want = eng_model.find_variants("there", params)
+    eng_model.set_backend("device")
+    got = eng_model.find_variants_batch(["there"], params)[0]
+    assert _result_tuples(eng_model, got) == _result_tuples(eng_model, want)
