@@ -976,6 +976,360 @@ class VariantModel:
         return total / len(seq), sequence_results
 
     # ------------------------------------------------------------------
+    # Search mode: find_all_matches (lib.rs:1789-1957)
+    # ------------------------------------------------------------------
+
+    def find_all_matches(
+        self, text: str, params: SearchParameters
+    ) -> List[Match]:
+        """Search running text, returning highest-ranking matches.
+
+        Structure mirrors lib.rs:1789-1957, but the per-segment variant
+        lookups are *batched across the whole text and all ngram orders* into
+        device calls (the TPU-native replacement for rayon's par_iter_mut,
+        lib.rs:1881-1900). ``consolidate_matches`` is accepted for parity but,
+        like the reference (v0.4.9), not consulted here: sequence consolidation
+        runs whenever max_ngram > 1, an LM is present, or context rules exist.
+        """
+        from ..search import (
+            BoundaryStrength,
+            classify_boundaries,
+            find_boundaries,
+            find_match_ngrams,
+            redundant_match,
+            remap_offsets_to_unicodepoints,
+        )
+
+        matches: List[Match] = []
+        if not text:
+            return matches
+        if self.index is None:
+            print(
+                "ERROR: Model has not been built yet! Call build() before "
+                "find_all_matches()",
+                file=sys.stderr,
+            )
+            return matches
+
+        boundaries = find_boundaries(text)
+        strengths = classify_boundaries(boundaries)
+        bytetext = text.encode("utf-8")
+
+        # split into batches at hard boundaries (lib.rs:1817-1836)
+        hard_batches = []  # (begin, end_offset, boundaries_slice, text_current)
+        begin = 0
+        begin_index = 0
+        for i, (strength, boundary) in enumerate(zip(strengths, boundaries)):
+            if strength is BoundaryStrength.HARD and boundary.offset.begin != begin:
+                text_current = bytetext[begin : boundary.offset.begin].decode("utf-8")
+                hard_batches.append(
+                    (begin, boundary.offset.begin, boundaries[begin_index : i + 1], text_current)
+                )
+                begin = boundary.offset.end
+                begin_index = i + 1
+
+        # per order: gather segments over all hard batches, one device batch
+        # (replaces the reference's per-segment rayon lookups)
+        batch_matches: List[List[Match]] = [[] for _ in hard_batches]
+        for order in range(1, params.max_ngram + 1):
+            pending: List[Tuple[int, Match]] = []
+            needs_lookup: List[Match] = []
+            for bi, (bbegin, bend, bslice, _btext) in enumerate(hard_batches):
+                for segment in find_match_ngrams(text, bslice, order, bbegin, bend):
+                    pending.append((bi, segment))
+                    # for higher orders, skip lookups for redundant matches
+                    # (unigrams already perfect, search.rs:317-336)
+                    if order == 1 or not redundant_match(segment, batch_matches[bi]):
+                        needs_lookup.append(segment)
+            if needs_lookup:
+                # deduplicate identical segment texts into one device pass
+                uniq: Dict[str, int] = {}
+                order_texts: List[str] = []
+                for seg in needs_lookup:
+                    if seg.text not in uniq:
+                        uniq[seg.text] = len(order_texts)
+                        order_texts.append(seg.text)
+                found = self.find_variants_batch(order_texts, params)
+                for seg in needs_lookup:
+                    seg.variants = list(found[uniq[seg.text]])
+            for bi, seg in pending:
+                batch_matches[bi].append(seg)
+
+        # consolidate per hard batch
+        for bi, (bbegin, bend, bslice, btext) in enumerate(hard_batches):
+            bmatches = batch_matches[bi]
+            if params.max_ngram > 1 or self.have_lm or self.context_rules:
+                matches.extend(
+                    self.most_likely_sequence(
+                        bmatches, bslice, bbegin, bend, params, btext
+                    )
+                )
+            else:
+                for m in bmatches:
+                    m.selected = 0
+                    matches.append(m)
+
+        if params.unicodeoffsets:
+            return remap_offsets_to_unicodepoints(text, matches)
+        return matches
+
+    # ------------------------------------------------------------------
+    # Sequence consolidation (lib.rs:2087-2495) — lattice n-best decoding
+    # ------------------------------------------------------------------
+
+    def most_likely_sequence(
+        self,
+        matches: List[Match],
+        boundaries: Sequence[Match],
+        begin_offset: int,
+        end_offset: int,
+        params: SearchParameters,
+        input_text: str,
+    ) -> List[Match]:
+        """Find the best-scoring segmentation of a hard-boundary batch.
+
+        The reference builds a rustfst VectorFst and runs n-shortest-paths
+        (lib.rs:2104-2317). The lattice here is the same graph — states are
+        the start plus one per boundary, arcs are (match, variant) transitions
+        with cost ``n + (1 - score)``, OOV unigram arcs with cost ``n + 1``,
+        and epsilon failsafe arcs with cost 100 — but decoded with an exact
+        n-best dynamic program over the DAG (states are topologically ordered
+        by construction), which needs no FST library.
+        """
+        from ..search import OutputSymbol
+
+        nstates = len(boundaries) + 1  # 0 = start, i+1 = boundary i
+        final_states = set()
+        for i, boundary in enumerate(boundaries):
+            if (
+                boundary.offset.begin == end_offset
+                or boundary.offset.end == end_offset
+            ):
+                final_states.add(i + 1)
+        if not final_states:
+            raise RuntimeError("no final state found")
+
+        output_symbols: List[OutputSymbol] = [
+            OutputSymbol(
+                vocab_id=0, symbol=0, match_index=0, variant_index=None, boundary_index=0
+            )
+        ]
+        arcs: List[List[Tuple[int, float, Optional[int]]]] = [
+            [] for _ in range(nstates)
+        ]  # source -> [(target, cost, symbol index or None)]
+
+        for match_index, m in enumerate(matches):
+            prevboundary: Optional[int] = None
+            nextboundary: Optional[int] = None
+            for i, boundary in enumerate(boundaries):
+                if m.offset.begin == boundary.offset.end:
+                    prevboundary = i
+                elif m.offset.end == boundary.offset.begin:
+                    nextboundary = i
+            if nextboundary is None:
+                continue
+            if prevboundary is not None:
+                n = nextboundary - prevboundary
+                prevstate = prevboundary + 1
+            else:
+                n = nextboundary + 1
+                prevstate = 0
+            nextstate = nextboundary + 1
+
+            if m.variants:
+                for variant_index, variantresult in enumerate(m.variants):
+                    symbol = len(output_symbols)
+                    output_symbols.append(
+                        OutputSymbol(
+                            vocab_id=variantresult.vocab_id,
+                            symbol=symbol,
+                            match_index=match_index,
+                            variant_index=variant_index,
+                            boundary_index=nextboundary,
+                        )
+                    )
+                    cost = n + (1.0 - variantresult.score(params.freq_weight))
+                    arcs[prevstate].append((nextstate, cost, symbol))
+            elif n == 1:
+                # out-of-vocabulary unigram, copied from input
+                symbol = len(output_symbols)
+                output_symbols.append(
+                    OutputSymbol(
+                        vocab_id=0,
+                        symbol=symbol,
+                        match_index=match_index,
+                        variant_index=None,
+                        boundary_index=nextboundary,
+                    )
+                )
+                arcs[prevstate].append((nextstate, float(n + 1), symbol))
+
+        # epsilon failsafe arcs (lib.rs:2265-2276)
+        for i in range(len(boundaries)):
+            prevstate = 0 if i == 0 else i
+            arcs[prevstate].append((i + 1, 100.0, None))
+
+        if len(output_symbols) == 1:
+            return matches
+
+        # exact n-best DP over the topologically ordered DAG
+        nbest = max(1, params.max_seq)
+        hyps: List[List[Tuple[float, Tuple[int, ...]]]] = [[] for _ in range(nstates)]
+        hyps[0] = [(0.0, ())]
+        for state in range(nstates):
+            if not hyps[state]:
+                continue
+            for target, cost, symbol in arcs[state]:
+                extended = [
+                    (c + cost, syms + (symbol,) if symbol is not None else syms)
+                    for c, syms in hyps[state]
+                ]
+                merged = hyps[target] + extended
+                merged.sort(key=lambda x: x[0])
+                hyps[target] = merged[:nbest]
+
+        collected: List[Tuple[float, Tuple[int, ...]]] = []
+        for state in final_states:
+            collected.extend(hyps[state])
+        collected.sort(key=lambda x: x[0])
+        collected = collected[:nbest]
+
+        sequences: List[SequenceHyp] = []
+        best_lm_perplexity = 999999.0
+        best_variant_cost = (len(boundaries) - 1) * 2.0
+        best_context_score = 0.0
+        for cost, syms in collected:
+            seq = SequenceHyp(variant_cost=cost)
+            seq.output_symbols = [output_symbols[s] for s in syms]
+            if self.have_lm and params.lm_weight > 0:
+                lm_logprob, perplexity = self.lm_score(seq, boundaries)
+                seq.lm_logprob = lm_logprob
+                seq.perplexity = perplexity
+                if perplexity < best_lm_perplexity:
+                    best_lm_perplexity = perplexity
+            if self.context_rules:
+                context_score, sequence_results = self.test_context_rules(seq)
+                seq.context_score = context_score
+                seq.tags = [
+                    [(pm.tag, pm.seqnr) for pm in vecpm if pm.tag is not None]
+                    for vecpm in sequence_results
+                ]
+            if cost < best_variant_cost:
+                best_variant_cost = cost
+            if seq.context_score > best_context_score:
+                best_context_score = seq.context_score
+            sequences.append(seq)
+
+        best_score = -99999999.0
+        best_sequence: Optional[SequenceHyp] = None
+        for seq in sequences:
+            if self.have_lm and params.lm_weight > 0:
+                norm_lm_score = math.log(best_lm_perplexity / seq.perplexity)
+            else:
+                norm_lm_score = 0.0
+            norm_variant_score = math.log(
+                best_variant_cost / seq.variant_cost
+            ) if seq.variant_cost > 0 else 0.0
+            norm_context_score = (
+                math.log(seq.context_score / best_context_score)
+                if best_context_score > 0 and seq.context_score > 0
+                else 0.0
+            )
+            if (not self.have_lm or params.lm_weight == 0.0) and (
+                not self.context_rules or params.contextrules_weight == 0.0
+            ):
+                score = norm_variant_score
+            else:
+                score = (
+                    params.lm_weight * norm_lm_score
+                    + params.variantmodel_weight * norm_variant_score
+                    + params.contextrules_weight * norm_context_score
+                ) / (
+                    params.lm_weight
+                    + params.variantmodel_weight
+                    + params.contextrules_weight
+                )
+            if score > best_score or best_sequence is None:
+                best_score = score
+                best_sequence = seq
+
+        assert best_sequence is not None
+        out: List[Match] = []
+        for i, osym in enumerate(best_sequence.output_symbols):
+            m = matches[osym.match_index].shallow_copy()
+            m.selected = osym.variant_index
+            if best_sequence.tags:
+                if i < len(best_sequence.tags):
+                    tags = best_sequence.tags[i]
+                    m.tag = [t for t, _ in tags]
+                    m.seqnr = [s for _, s in tags]
+            out.append(m)
+        return out
+
+    # ------------------------------------------------------------------
+    # Learn mode (lib.rs:1029-1139)
+    # ------------------------------------------------------------------
+
+    def find_variants_for_learning(
+        self, inputstr: str, params: SearchParameters, strict: bool
+    ) -> List[Tuple[str, VariantResult]]:
+        if strict:
+            return [(inputstr, r) for r in self.find_variants(inputstr, params)]
+        out = []
+        for m in self.find_all_matches(inputstr, params):
+            solution = m.solution()
+            if solution is not None:
+                out.append((m.text, solution))
+        return out
+
+    def learn_variants(
+        self,
+        inputs: Sequence[str],
+        params: SearchParameters,
+        strict: bool = False,
+        auto_build: bool = True,
+    ) -> int:
+        """Bootstrap weighted variants from a corpus (lib.rs:1062-1139).
+
+        Batched lookup replaces rayon parallelism; the merge phase is
+        sequential, as in the reference.
+        """
+        vocabparams = VocabParams().with_vocab_type(VocabType.TRANSPARENT).with_freq_handling(
+            FrequencyHandling.MAX
+        )
+        all_variants: List[List[Tuple[str, VariantResult]]] = []
+        if strict:
+            batch_results = self.find_variants_batch(list(inputs), params)
+            all_variants = [
+                [(inputstr, r) for r in results]
+                for inputstr, results in zip(inputs, batch_results)
+            ]
+        else:
+            for inputstr in inputs:
+                all_variants.append(
+                    self.find_variants_for_learning(inputstr, params, strict)
+                )
+
+        count = 0
+        prev: Optional[str] = None
+        for inputstr, result in (
+            item for sublist in all_variants for item in sublist
+        ):
+            vocab_id = self.encoder.get(inputstr)
+            if vocab_id is not None:
+                if prev != inputstr:
+                    self.decoder[vocab_id].frequency += 1
+            else:
+                vocab_id = self.add_to_vocabulary(inputstr, 1, vocabparams)
+            if result.vocab_id != vocab_id:
+                if self.add_variant_by_id(result.vocab_id, vocab_id, result.dist_score):
+                    count += 1
+            prev = inputstr
+        if auto_build:
+            self.build()
+        return count
+
+    # ------------------------------------------------------------------
     # Helpers used by search mode & output
     # ------------------------------------------------------------------
 

@@ -1,4 +1,4 @@
-"""The batched device query pipeline: retrieval -> scoring -> ranking.
+"""The batched device query pipeline: retrieval -> scoring in one fused call.
 
 TPU-native replacement for the reference's per-query hot loops
 (find_nearest_anahashes lib.rs:1143-1308, gather_instances lib.rs:1311-1402,
@@ -12,28 +12,35 @@ the MXU: expanding counts into per-(char, threshold) binary planes makes
     L1(a, q) = cc(a) + cc(q) - 2 * (bin(a) . bin(q))
 
 One [B, A*T] x [A*T, N] int8 matmul scores every query against the entire
-lexicon. The boolean hit mask is then *compacted* into a flat (query,
-candidate) pair list with a cumsum+scatter, so downstream DP work is
-proportional to the number of real candidates rather than a padded per-query
-budget. StopAtExactMatch restricts a query's mask to exact anagram hits
+lexicon. The boolean hit mask is *compacted* into a flat (query, candidate)
+pair list with a cumsum+scatter, so downstream DP work is proportional to the
+number of real candidates rather than a padded per-query budget.
+StopAtExactMatch restricts a query's mask to exact anagram hits
 (lib.rs:1158-1174).
 
 Stage B — scoring. Gather each pair's normalized strings, run the fused
-DL+LCS+prefix/suffix DP (ops/dl_jax.py), compute the weighted linear score
-(lib.rs:1430-1452), mask by per-query max edit distance and score threshold,
-and sort pairs by (query, kept desc, score desc, freq desc, canonical index
-asc) — the reference's stable rank order per query. The top R survivors per
-query return to the host, where the exact float64 ranking tail (crop/cutoff/
-confusables/variant expansion; models/variant_model.py) runs on these few
-results.
+DL+LCS+prefix/suffix DP (ops/dl_jax.py) over fixed-size pair chunks
+(lax.map bounds the DP matrix footprint and keeps compile time independent of
+the pair budget), compute the weighted linear score (lib.rs:1430-1452), and
+mask by per-query max edit distance and score threshold. Surviving pairs are
+compacted again — in (query, canonical candidate) order, which is exactly the
+reference's gather order — and returned to the host, where the exact float64
+ranking tail (sort/crop/cutoff/confusables/variant expansion;
+models/variant_model.py) runs on the few survivors.
+
+Both stages execute as ONE jitted call per batch, and all outputs come back in
+ONE device_get: on remote-attached TPUs (axon tunnel) per-call latency
+dominates, so the steady state is exactly one round trip per batch.
 
 Exactness notes:
   * the L1-ball candidate set is exactly the set the reference's deletion BFS
     + insertion sweep visits (see SURVEY.md §7);
-  * device scores are float32 and used only for *selection*; the host
+  * device scores are float32 and used only for *pre-filtering*; the host
     recomputes float64 scores from the exact integer metrics. The device
     threshold uses a small slack so float32 rounding cannot drop a candidate
-    the float64 threshold would keep.
+    the float64 threshold would keep;
+  * pair-budget overflow is detected on the host (totals are returned) and
+    the batch transparently re-runs with the next budget bucket.
 """
 
 from __future__ import annotations
@@ -47,6 +54,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: kernel compiles for remote-attached TPUs run
+# tens of seconds; cache them across processes.
+if jax.config.jax_compilation_cache_dir is None:
+    import os as _os
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.expanduser("~/.cache/jax_analiticcl"),
+    )
+
 from .dl_jax import PAD_A, PAD_B, dl_metrics_batch
 from ..types import Distance, SearchParameters, StopCriterion, VariantResult
 
@@ -55,7 +72,9 @@ THRESHOLD_SLACK = 1e-4
 
 # static shape buckets
 B_BUCKETS = (8, 64, 256)
-P_BUCKETS = (2048, 16384, 131072)
+P_BUCKETS = (2048, 8192, 32768, 131072, 524288)  # candidate-pair budget
+P2_BUCKETS = (2048, 16384, 131072)  # surviving-pair budget
+DL_CHUNK = 16384
 
 
 def _bucket(value: int, buckets: Sequence[int]) -> int:
@@ -65,8 +84,158 @@ def _bucket(value: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+def _compact(flat_mask, payload_arrays, P: int, fill_values):
+    """Stable compaction: gather payloads of set mask positions into P slots.
+
+    Implemented as cumsum + searchsorted (an inverse-permutation *gather*)
+    rather than a scatter: TPU scatters over tens of millions of updates are
+    ~5x slower than the equivalent batched binary search.
+    """
+    csum = jnp.cumsum(flat_mask.astype(jnp.int32))
+    n = flat_mask.shape[0]
+    # slot p holds the first flat position where csum == p+1
+    idx = jnp.searchsorted(csum, jnp.arange(1, P + 1, dtype=jnp.int32), side="left")
+    valid = idx < n
+    idx_safe = jnp.minimum(idx, n - 1)
+    outs = []
+    for arr, fill in zip(payload_arrays, fill_values):
+        fillv = jnp.asarray(fill, dtype=arr.dtype)
+        outs.append(jnp.where(valid, arr[idx_safe], fillv))
+    return outs
+
+
+@partial(jax.jit, static_argnames=("P", "P2"))
+def _query_fused(
+    bins,  # int8 [Ni_pad, A*T]
+    cc,  # int32 [Ni_pad]
+    validrows,  # bool [Ni_pad]
+    norms,  # int32 [Ni_pad, L]
+    norm_lens,  # int32 [Ni_pad]
+    freqs,  # f32 [Ni_pad]
+    first_lower,  # bool [Ni_pad]
+    qbin,  # int8 [B, A*T]
+    q_cc,  # int32 [B]
+    q_norms,  # int32 [B, L]
+    q_lens,  # int32 [B]
+    q_first_lower,  # bool [B]
+    k_ana,  # int32 [B]
+    k_ed,  # int32 [B]
+    stop_exact,  # bool [B]
+    weights,  # f32 [6]
+    score_threshold,  # f32 scalar
+    have_freq,  # bool scalar
+    P: int,
+    P2: int,
+):
+    B = qbin.shape[0]
+    Ni_pad = bins.shape[0]
+    L = norms.shape[1]
+
+    # ---------------- Stage A: retrieval ----------------
+    summin = jax.lax.dot_general(
+        qbin, bins, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )  # [B, Ni_pad]
+    l1 = cc[None, :] + q_cc[:, None] - 2 * summin
+    valid = validrows[None, :]
+    mask = (l1 <= k_ana[:, None]) & valid
+    exact = (l1 == 0) & valid
+    use_exact = stop_exact & exact.any(axis=1)
+    mask = jnp.where(use_exact[:, None], exact, mask)
+    n_match = mask.sum(axis=1)
+    total_match = n_match.sum()
+
+    flat_mask = mask.reshape(-1)
+    sentinel = jnp.int32(B * Ni_pad)
+    # identity payload: the searchsorted result IS the compacted flat index
+    csum = jnp.cumsum(flat_mask.astype(jnp.int32))
+    slot = jnp.searchsorted(
+        csum, jnp.arange(1, P + 1, dtype=jnp.int32), side="left"
+    )
+    pair_flat = jnp.where(slot < B * Ni_pad, slot, sentinel).astype(jnp.int32)
+
+    # ---------------- Stage B: scoring ----------------
+    pvalid = pair_flat < sentinel
+    pq = jnp.where(pvalid, pair_flat // Ni_pad, B)
+    pc = jnp.where(pvalid, pair_flat % Ni_pad, 0)
+
+    cn = norms[pc]  # [P, L]
+    cl = jnp.where(pvalid, norm_lens[pc], 0)
+    cf = freqs[pc]
+    cfl = first_lower[pc]
+
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    pq_safe = jnp.minimum(pq, B - 1)
+    qn = q_norms[pq_safe]
+    ql = jnp.where(pvalid, q_lens[pq_safe], 0)
+    a = jnp.where(pos < ql[:, None], qn, PAD_A)
+    b = jnp.where(pos < cl[:, None], cn, PAD_B)
+
+    if P <= DL_CHUNK:
+        ld, lcs, pf, sf = dl_metrics_batch(a, ql, b, cl, L)
+    else:
+        nchunk = P // DL_CHUNK
+
+        def chunk_fn(args):
+            ca, cal, cb, cbl = args
+            return dl_metrics_batch(ca, cal, cb, cbl, L)
+
+        ld, lcs, pf, sf = jax.lax.map(
+            chunk_fn,
+            (
+                a.reshape(nchunk, DL_CHUNK, L),
+                ql.reshape(nchunk, DL_CHUNK),
+                b.reshape(nchunk, DL_CHUNK, L),
+                cl.reshape(nchunk, DL_CHUNK),
+            ),
+        )
+        ld, lcs, pf, sf = (x.reshape(P) for x in (ld, lcs, pf, sf))
+
+    w_ld, w_lcs, w_pf, w_sf, w_case, w_sum = (
+        weights[0], weights[1], weights[2], weights[3], weights[4], weights[5],
+    )
+    # weight gating mirrors gather_instances (lib.rs:1350-1378)
+    lcs = jnp.where(w_lcs > 0, lcs, 0)
+    pf = jnp.where(w_pf > 0, pf, 0)
+    sf = jnp.where(w_sf > 0, sf, 0)
+    samecase = jnp.where(w_case > 0, cfl == q_first_lower[pq_safe], True)
+
+    qlen_f = jnp.maximum(ql, 1).astype(jnp.float32)
+    ds = jnp.where(ld > ql, 0.0, 1.0 - ld.astype(jnp.float32) / qlen_f)
+    score = (
+        w_ld * ds
+        + w_lcs * lcs.astype(jnp.float32) / qlen_f
+        + w_pf * pf.astype(jnp.float32) / qlen_f
+        + w_sf * sf.astype(jnp.float32) / qlen_f
+        + jnp.where(samecase, w_case, 0.0)
+    ) / w_sum
+
+    pass_ed = pvalid & (ld <= k_ed[pq_safe])
+    keep_strict = pass_ed & (score >= score_threshold)
+    keep = pass_ed & (score >= score_threshold - THRESHOLD_SLACK)
+
+    freq = jnp.where(have_freq, cf, 1.0)
+    max_freq = jax.ops.segment_max(
+        jnp.where(keep_strict, freq, 0.0), pq, num_segments=B + 1
+    )[:B]
+    n_keep = jax.ops.segment_sum(keep.astype(jnp.int32), pq, num_segments=B + 1)[:B]
+    total_keep = n_keep.sum()
+
+    # compact survivors, preserving (query, canonical candidate) order
+    out = _compact(
+        keep,
+        (pq, pc, ld, lcs, pf, sf, samecase.astype(jnp.int32)),
+        P2,
+        (B, 0, 0, 0, 0, 0, 0),
+    )
+    o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case = out
+    return (
+        o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case,
+        n_keep, max_freq, total_match, total_keep,
+    )
+
+
 class DevicePipeline:
-    """Device-resident index + jitted query stages for one built model."""
+    """Device-resident index + fused jitted query for one built model."""
 
     def __init__(self, model):
         index = model.index
@@ -94,36 +263,21 @@ class DevicePipeline:
         freqs = np.pad(index.freqs.astype(np.float32), (0, pad))
         first_lower = np.pad(index.first_lower, (0, pad))
 
-        self.bins = jnp.asarray(bins)
-        self.cc = jnp.asarray(cc.astype(np.int32))
-        self.norms = jnp.asarray(norms)
-        self.norm_lens = jnp.asarray(norm_lens.astype(np.int32))
-        self.freqs = jnp.asarray(freqs)
-        self.first_lower = jnp.asarray(first_lower)
-        self.valid = jnp.asarray(np.arange(Ni_pad) < self.Ni)
-
-        # index arrays bundled as explicit jit arguments so executables are
-        # shared across models of identical shape and nothing is constant-baked
-        self._idx_a = (self.bins, self.cc, self.valid)
-        self._idx_b = (self.norms, self.norm_lens, self.freqs, self.first_lower)
-
-    # ------------------------------------------------------------------
-    # Stage A: L1-ball retrieval via binarized matmul + pair compaction
-    # ------------------------------------------------------------------
-
-    def _stage_a(self, qbin, q_cc, k_ana, stop_exact, P: int):
-        return _stage_a_jit(*self._idx_a, qbin, q_cc, k_ana, stop_exact, P=P)
-
-    def _stage_b(self, pair_flat, q_norms, q_lens, q_first_lower, k_ed,
-                 weights, score_threshold, have_freq, P: int, R: int):
-        return _stage_b_jit(
-            *self._idx_b, pair_flat, q_norms, q_lens, q_first_lower, k_ed,
-            weights, score_threshold, have_freq, P=P, R=R,
+        # index arrays as explicit jit arguments: executables shared across
+        # models of identical shape, nothing constant-baked
+        self._idx = (
+            jnp.asarray(bins),
+            jnp.asarray(cc.astype(np.int32)),
+            jnp.asarray(np.arange(Ni_pad) < self.Ni),
+            jnp.asarray(norms),
+            jnp.asarray(norm_lens.astype(np.int32)),
+            jnp.asarray(freqs),
+            jnp.asarray(first_lower),
         )
+        # sticky budgets: start small, escalate on overflow, remember
+        self._P = P_BUCKETS[0]
+        self._P2 = P2_BUCKETS[0]
 
-
-    # ------------------------------------------------------------------
-    # Host driver
     # ------------------------------------------------------------------
 
     def find_variants_batch(
@@ -177,79 +331,67 @@ class DevicePipeline:
         stop_exact = np.full(
             B, params.stop_criterion is StopCriterion.STOP_AT_EXACT_MATCH
         )
+        w = model.weights
+        weights_arr = np.array(
+            [w.ld, w.lcs, w.prefix, w.suffix, w.case, w.sum()], dtype=np.float32
+        )
 
-        # Stage A with escalating pair budgets
-        P = P_BUCKETS[0]
+        args = (
+            jnp.asarray(qbin),
+            jnp.asarray(q_cc),
+            jnp.asarray(q_norms),
+            jnp.asarray(q_lens),
+            jnp.asarray(q_first_lower),
+            jnp.asarray(k_ana),
+            jnp.asarray(k_ed),
+            jnp.asarray(stop_exact),
+            jnp.asarray(weights_arr),
+            jnp.float32(params.score_threshold),
+            jnp.asarray(model.have_freq),
+        )
+
+        # fused call with sticky budgets; re-run on overflow
         while True:
-            pair_flat, n_match = self._stage_a(
-                jnp.asarray(qbin),
-                jnp.asarray(q_cc),
-                jnp.asarray(k_ana),
-                jnp.asarray(stop_exact),
-                P=P,
-            )
-            total = int(jnp.sum(n_match))
-            if total <= P or P >= P_BUCKETS[-1]:
-                if total > P and model.debug:
+            out = _query_fused(*self._idx, *args, P=self._P, P2=self._P2)
+            (
+                o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case,
+                n_keep, max_freq, total_match, total_keep,
+            ) = jax.device_get(out)
+            total_match = int(total_match)
+            total_keep = int(total_keep)
+            overflowed = False
+            if total_match > self._P and self._P < P_BUCKETS[-1]:
+                self._P = _bucket(total_match, P_BUCKETS)
+                overflowed = True
+            if total_keep > self._P2 and self._P2 < P2_BUCKETS[-1]:
+                self._P2 = _bucket(total_keep, P2_BUCKETS)
+                overflowed = True
+            if not overflowed:
+                if total_match > self._P or total_keep > self._P2:
                     print(
-                        f"WARNING: pair budget overflow ({total} > {P}); "
+                        f"WARNING: pair budget overflow "
+                        f"({total_match} matches / {total_keep} kept); "
                         "farthest candidates dropped",
                         file=sys.stderr,
                     )
                 break
-            P = _bucket(total, P_BUCKETS)
 
-        w = model.weights
-        weights_arr = jnp.asarray(
-            np.array(
-                [w.ld, w.lcs, w.prefix, w.suffix, w.case, w.sum()], dtype=np.float32
-            )
-        )
-        R = max(64, 2 * params.max_matches) if params.max_matches > 0 else P
-        (s_q, s_cand, s_ld, s_lcs, s_pf, s_sf, s_case, out_mask, n_keep, max_freq) = (
-            self._stage_b(
-                pair_flat,
-                jnp.asarray(q_norms),
-                jnp.asarray(q_lens),
-                jnp.asarray(q_first_lower),
-                jnp.asarray(k_ed),
-                weights_arr,
-                jnp.float32(params.score_threshold),
-                jnp.asarray(model.have_freq),
-                P=P,
-                R=min(R, P),
-            )
-        )
-        s_q = np.asarray(s_q)
-        s_cand = np.asarray(s_cand)
-        s_ld = np.asarray(s_ld)
-        s_lcs = np.asarray(s_lcs)
-        s_pf = np.asarray(s_pf)
-        s_sf = np.asarray(s_sf)
-        s_case = np.asarray(s_case)
-        out_mask = np.asarray(out_mask)
-        n_keep = np.asarray(n_keep)
-        max_freq = np.asarray(max_freq)
         vocab_ids = self.model.index.vocab_ids
-
-        kept_rows = np.nonzero(out_mask)[0]
-        per_query: List[List[int]] = [[] for _ in range(B)]
-        for rowidx in kept_rows:
-            per_query[s_q[rowidx]].append(int(rowidx))
+        # survivors arrive sorted by (query, canonical candidate); split by
+        # query with a binary search instead of a Python scan
+        bounds = np.searchsorted(o_q, np.arange(B + 1))
 
         for row, i in enumerate(active):
-            entries = per_query[row]
-            # rebuild instances in canonical gather order for the exact host tail
-            entries.sort(key=lambda p: s_cand[p])
+            entries = range(int(bounds[row]), int(bounds[row + 1]))
             instances: List[Tuple[int, Distance]] = [
                 (
-                    int(vocab_ids[s_cand[p]]),
+                    int(vocab_ids[o_c[p]]),
                     Distance(
-                        ld=int(s_ld[p]),
-                        lcs=int(s_lcs[p]),
-                        prefixlen=int(s_pf[p]),
-                        suffixlen=int(s_sf[p]),
-                        samecase=bool(s_case[p]),
+                        ld=int(o_ld[p]),
+                        lcs=int(o_lcs[p]),
+                        prefixlen=int(o_pf[p]),
+                        suffixlen=int(o_sf[p]),
+                        samecase=bool(o_case[p]),
                     ),
                 )
                 for p in entries
@@ -268,150 +410,6 @@ class DevicePipeline:
                 max_freq_floor=max_freq_floor,
             )
         return [r if r is not None else [] for r in results]
-
-
-@partial(jax.jit, static_argnames=("P",))
-def _stage_a_jit(bins, cc, validrows, qbin, q_cc, k_ana, stop_exact, P: int):
-    B = qbin.shape[0]
-    Ni_pad = bins.shape[0]
-    summin = jax.lax.dot_general(
-        qbin,
-        bins,
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )  # [B, Ni_pad]
-    l1 = cc[None, :] + q_cc[:, None] - 2 * summin
-    valid = validrows[None, :]
-    mask = (l1 <= k_ana[:, None]) & valid
-    exact = (l1 == 0) & valid
-    has_exact = exact.any(axis=1)
-    use_exact = stop_exact & has_exact
-    mask = jnp.where(use_exact[:, None], exact, mask)
-    n_match = mask.sum(axis=1)
-
-    # compact the hit mask into a flat pair list, preserving
-    # (query, canonical candidate index) order
-    flat_mask = mask.reshape(-1)
-    positions = jnp.cumsum(flat_mask) - 1
-    flat_idx = jnp.arange(B * Ni_pad, dtype=jnp.int32)
-    target = jnp.where(flat_mask, positions, P)
-    sentinel = jnp.int32(B * Ni_pad)
-    pair_flat = jnp.full((P,), sentinel, dtype=jnp.int32)
-    pair_flat = pair_flat.at[target].set(flat_idx, mode="drop")
-    return pair_flat, n_match
-
-
-# ---------------------------------------------------------------------------
-# Stage B: DL scoring + per-query ranking over the flat pair list
-# ---------------------------------------------------------------------------
-
-@partial(jax.jit, static_argnames=("P", "R"))
-def _stage_b_jit(
-    norms,
-    norm_lens,
-    freqs,
-    first_lower,
-    pair_flat,  # int32 [P]; sentinel = B*Ni_pad
-    q_norms,  # int32 [B, L] (0-padded)
-    q_lens,  # int32 [B]
-    q_first_lower,  # bool [B]
-    k_ed,  # int32 [B]
-    weights,  # f32 [6]: ld, lcs, prefix, suffix, case, sum
-    score_threshold,  # f32 scalar
-    have_freq,  # bool scalar
-    P: int,
-    R: int,
-):
-    B = q_norms.shape[0]
-    Ni_pad = norms.shape[0]
-    L = norms.shape[1]
-    sentinel = jnp.int32(B * Ni_pad)
-    pvalid = pair_flat < sentinel
-    pq = jnp.where(pvalid, pair_flat // Ni_pad, B)  # query row; B = dump
-    pc = jnp.where(pvalid, pair_flat % Ni_pad, 0)  # candidate row
-
-    cn = norms[pc]  # [P, L]
-    cl = jnp.where(pvalid, norm_lens[pc], 0)
-    cf = freqs[pc]
-    cfl = first_lower[pc]
-
-    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
-    qn = q_norms[jnp.minimum(pq, B - 1)]
-    ql = jnp.where(pvalid, q_lens[jnp.minimum(pq, B - 1)], 0)
-    a = jnp.where(pos < ql[:, None], qn, PAD_A)
-    b = jnp.where(pos < cl[:, None], cn, PAD_B)
-
-    ld, lcs, pf, sf = dl_metrics_batch(a, ql, b, cl, L)
-
-    w_ld, w_lcs, w_pf, w_sf, w_case, w_sum = (
-        weights[0], weights[1], weights[2], weights[3], weights[4], weights[5],
-    )
-    lcs = jnp.where(w_lcs > 0, lcs, 0)
-    pf = jnp.where(w_pf > 0, pf, 0)
-    sf = jnp.where(w_sf > 0, sf, 0)
-    samecase = jnp.where(
-        w_case > 0, cfl == q_first_lower[jnp.minimum(pq, B - 1)], True
-    )
-
-    qlen_f = jnp.maximum(ql, 1).astype(jnp.float32)
-    ds = jnp.where(ld > ql, 0.0, 1.0 - ld.astype(jnp.float32) / qlen_f)
-    score = (
-        w_ld * ds
-        + w_lcs * lcs.astype(jnp.float32) / qlen_f
-        + w_pf * pf.astype(jnp.float32) / qlen_f
-        + w_sf * sf.astype(jnp.float32) / qlen_f
-        + jnp.where(samecase, w_case, 0.0)
-    ) / w_sum
-
-    pass_ed = pvalid & (ld <= k_ed[jnp.minimum(pq, B - 1)])
-    keep_strict = pass_ed & (score >= score_threshold)
-    keep = pass_ed & (score >= score_threshold - THRESHOLD_SLACK)
-
-    freq = jnp.where(have_freq, cf, 1.0)
-    max_freq = jax.ops.segment_max(
-        jnp.where(keep_strict, freq, 0.0), pq, num_segments=B + 1
-    )[:B]
-    n_keep = jax.ops.segment_sum(
-        keep.astype(jnp.int32), pq, num_segments=B + 1
-    )[:B]
-
-    # rank within each query group; non-kept pairs sink to the group's end
-    sort_q = jnp.where(keep, pq, B)
-    (s_q, _nk, s_score_neg, s_freq_neg, s_cand, s_ld, s_lcs, s_pf, s_sf, s_case) = (
-        jax.lax.sort(
-            (
-                sort_q,
-                (~keep).astype(jnp.int32),
-                -score,
-                -freq,
-                pc,
-                ld,
-                lcs,
-                pf,
-                sf,
-                samecase.astype(jnp.int32),
-            ),
-            dimension=0,
-            num_keys=5,
-        )
-    )
-    arange = jnp.arange(P, dtype=jnp.int32)
-    first_pos = jax.ops.segment_min(arange, s_q, num_segments=B + 1)
-    rank = arange - first_pos[jnp.minimum(s_q, B)]
-    out_mask = (s_q < B) & (rank < R)
-    return (
-        s_q,
-        s_cand,
-        s_ld,
-        s_lcs,
-        s_pf,
-        s_sf,
-        s_case,
-        out_mask,
-        n_keep,
-        max_freq,
-    )
-
 
 
 def get_device_pipeline(model) -> DevicePipeline:

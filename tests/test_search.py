@@ -1,0 +1,280 @@
+"""Search-mode parity tests (reference tests/main.rs 06xx, 07xx, 09xx)."""
+
+import dataclasses
+
+import pytest
+
+from analiticcl_tpu.models.variant_model import VariantModel
+from analiticcl_tpu.search import find_boundaries, find_match_ngrams
+from analiticcl_tpu.types import Weights
+from analiticcl_tpu.vocab import VocabParams, VocabType
+
+from fixtures import get_test_alphabet, get_test_searchparams
+
+LEXICON_AMPHIBIANS = "/root/reference/bindings/python/tests/amphibians.tsv"
+LEXICON_REPTILES = "/root/reference/bindings/python/tests/reptiles.tsv"
+
+
+def test0601_find_boundaries():
+    text = 'Hallo allemaal, ik zeg: "Welkom in Aix-les-bains!".'
+    boundaries = find_boundaries(text)
+    assert len(boundaries) == 9
+    assert boundaries[0].offset.begin == 5
+    assert boundaries[0].offset.end == 6
+    assert [b.text for b in boundaries] == [
+        " ", ", ", " ", ': "', " ", " ", "-", "-", '!".',
+    ]
+
+
+def test0602_find_ngrams_unigram1():
+    text = "dit is een mooie test"
+    ngrams = find_match_ngrams(text, find_boundaries(text), 1, 0, None)
+    assert [n.text for n in ngrams] == ["dit", "is", "een", "mooie", "test"]
+
+
+def test0603_find_ngrams_unigram2():
+    text = "dit is een mooie test."
+    ngrams = find_match_ngrams(text, find_boundaries(text), 1, 0, None)
+    assert [n.text for n in ngrams] == ["dit", "is", "een", "mooie", "test"]
+
+
+def test0604_find_ngrams_unigram3():
+    text = "hello, world!"
+    ngrams = find_match_ngrams(text, find_boundaries(text), 1, 0, None)
+    assert [n.text for n in ngrams] == ["hello", "world"]
+
+
+def test0605_find_ngrams_bigrams():
+    text = "dit is een mooie test."
+    boundaries = find_boundaries(text)
+    assert len(boundaries) == 5
+    ngrams = find_match_ngrams(text, boundaries, 2, 0, None)
+    assert [n.text for n in ngrams] == [
+        "dit is", "is een", "een mooie", "mooie test",
+    ]
+
+
+def test0606_find_ngrams_bigrams2():
+    text = "hello,world!"
+    ngrams = find_match_ngrams(text, find_boundaries(text), 2, 0, None)
+    assert [n.text for n in ngrams] == ["hello,world"]
+
+
+def test0607_find_ngrams_bigrams3():
+    text = "hello, world!"
+    ngrams = find_match_ngrams(text, find_boundaries(text), 2, 0, None)
+    assert [n.text for n in ngrams] == ["hello, world"]
+
+
+def test0608_find_ngrams_bigrams4():
+    text = "hello!"
+    ngrams = find_match_ngrams(text, find_boundaries(text), 2, 0, None)
+    assert ngrams == []
+
+
+def _lm_model():
+    alphabet, _ = get_test_alphabet()
+    model = VariantModel.new_with_alphabet(alphabet, Weights(), 0)
+    for w in ("I", "think", "sink", "you"):
+        model.add_to_vocabulary(w, 2, VocabParams())
+    for w in ("are", "right", "are right"):
+        model.add_to_vocabulary(w, 2, VocabParams())
+    lm = VocabParams(vocab_type=VocabType.LM)
+    model.add_to_vocabulary("<bos> I", 2, lm)
+    model.add_to_vocabulary("I think", 2, lm)
+    model.add_to_vocabulary("I sink", 1, lm)
+    model.add_to_vocabulary("you are", 2, lm)
+    model.add_to_vocabulary("right <eos>", 2, lm)
+    return model
+
+
+def test0701_find_all_matches_unigram_only():
+    alphabet, _ = get_test_alphabet()
+    model = VariantModel.new_with_alphabet(alphabet, Weights(), 0)
+    for w in ("I", "think", "sink", "you", "are", "right"):
+        model.add_to_vocabulary(w, None, VocabParams())
+    model.build()
+    matches = model.find_all_matches(
+        "I tink you are rihgt", get_test_searchparams().with_max_ngram(1)
+    )
+    assert matches
+    assert matches[0].text == "I"
+    assert matches[1].text == "tink"
+    assert model.match_to_str(matches[1]) == "think"
+    assert matches[2].text == "you"
+    assert matches[3].text == "are"
+    assert matches[4].text == "rihgt"
+    assert model.match_to_str(matches[4]) == "right"
+
+
+def test0702_find_all_matches():
+    model = _lm_model()
+    model.build()
+    matches = model.find_all_matches("I tink you are rihgt", get_test_searchparams())
+    assert matches
+    assert matches[0].text == "I"
+    assert model.match_to_str(matches[0]) == "I"
+    assert matches[1].text == "tink"
+    assert matches[1].offset.begin == 2
+    assert matches[1].offset.end == 6
+    assert model.match_to_str(matches[1]) == "think"
+    assert matches[2].text == "you"
+    assert model.match_to_str(matches[2]) == "you"
+    assert matches[3].text == "are rihgt"  # system opts for the bigram here
+    assert model.match_to_str(matches[3]) == "are right"
+
+
+def test0703_find_all_matches_linebreak():
+    model = _lm_model()
+    model.build()
+    matches = model.find_all_matches(
+        "I tink you are\nrihgt", get_test_searchparams()
+    )
+    assert [m.text for m in matches] == ["I", "tink", "you", "are\nrihgt"]
+    assert model.match_to_str(matches[3]) == "are right"
+
+
+def test0704_find_all_matches_two_batches():
+    model = _lm_model()
+    model.add_to_vocabulary("am", 2, VocabParams())
+    model.add_to_vocabulary("sure", 2, VocabParams())
+    lm = VocabParams(vocab_type=VocabType.LM)
+    model.add_to_vocabulary("I am", 2, lm)
+    model.add_to_vocabulary("sure <eos>", 2, lm)
+    model.build()
+    matches = model.find_all_matches(
+        "I tink you are rihgt\n\nI am sur", get_test_searchparams()
+    )
+    assert [m.text for m in matches] == [
+        "I", "tink", "you", "are rihgt", "I", "am", "sur",
+    ]
+    assert model.match_to_str(matches[1]) == "think"
+    assert model.match_to_str(matches[3]) == "are right"
+    assert model.match_to_str(matches[6]) == "sure"
+
+
+def test0706_find_all_matches_unicodeoffsets():
+    alphabet, _ = get_test_alphabet()
+    model = VariantModel.new_with_alphabet(alphabet, Weights(), 0)
+    for w in ("I", "think", "you", "are", "right"):
+        model.add_to_vocabulary(w, None, VocabParams())
+    model.build()
+    matches = model.find_all_matches(
+        "I thиnk you are righт",
+        get_test_searchparams().with_max_ngram(1).with_unicodeoffsets(),
+    )
+    assert matches[1].text == "thиnk"
+    assert matches[1].offset.begin == 2
+    assert matches[1].offset.end == 7
+    assert model.match_to_str(matches[1]) == "think"
+    assert matches[4].text == "righт"
+    assert model.match_to_str(matches[4]) == "right"
+
+
+def test0707_find_all_matches_utf8offsets():
+    alphabet, _ = get_test_alphabet()
+    model = VariantModel.new_with_alphabet(alphabet, Weights(), 0)
+    for w in ("I", "think", "you", "are", "right"):
+        model.add_to_vocabulary(w, None, VocabParams())
+    model.build()
+    matches = model.find_all_matches(
+        "I thиnk you are rihgt", get_test_searchparams().with_max_ngram(1)
+    )
+    assert matches[1].text == "thиnk"
+    assert matches[1].offset.begin == 2
+    assert matches[1].offset.end == 8
+    assert model.match_to_str(matches[1]) == "think"
+
+
+def test0901_find_all_matches_with_multiple_lexicons():
+    alphabet, _ = get_test_alphabet()
+    model = VariantModel.new_with_alphabet(alphabet, Weights(), 0)
+    model.read_vocabulary(LEXICON_AMPHIBIANS, VocabParams())
+    model.read_vocabulary(LEXICON_REPTILES, VocabParams())
+    model.build()
+    assert len(model.lexicons) == 2
+    inputwords = ["Salamander", "lizard", "frog", "snake", "toad"]
+    outputrefwords = ["salamander", "lizard", "frog", "snake", "toad"]
+    matches = model.find_all_matches(
+        " ".join(inputwords),
+        get_test_searchparams().with_max_ngram(1).with_single_thread(),
+    )
+    assert len(matches) == len(inputwords)
+    for i, w in enumerate(inputwords):
+        assert matches[i].text == w
+    for i, w in enumerate(outputrefwords):
+        assert model.match_to_str(matches[i]) == w
+    assert model.match_to_vocabvalue(matches[0]).in_lexicon(0)  # amphibians
+    assert model.match_to_vocabvalue(matches[1]).in_lexicon(1)  # reptiles
+    assert model.match_to_vocabvalue(matches[2]).in_lexicon(0)
+    assert model.match_to_vocabvalue(matches[3]).in_lexicon(1)
+    assert model.match_to_vocabvalue(matches[4]).in_lexicon(0)
+
+
+def _contextrule_model():
+    alphabet, _ = get_test_alphabet()
+    model = VariantModel.new_with_alphabet(alphabet, Weights(), 0)
+    for w in ("I", "think", "sink", "you", "are", "right"):
+        model.add_to_vocabulary(w, 2, VocabParams())
+    model.build()
+    return model
+
+
+def test0902_context_rules_bonus():
+    model = _contextrule_model()
+    model.add_contextrule("I; think", 1.1, ["testtag"], [])
+    params = dataclasses.replace(
+        get_test_searchparams(), lm_weight=0.0, max_ngram=1
+    )
+    matches = model.find_all_matches("I tink you are rihgt", params)
+    assert matches[0].text == "I"
+    assert matches[0].tag == [0]
+    assert matches[0].seqnr == [0]
+    assert matches[1].text == "tink"
+    assert matches[1].tag == [0]
+    assert matches[1].seqnr == [1]
+    assert model.match_to_str(matches[1]) == "think"
+    assert model.match_to_str(matches[4]) == "right"
+
+
+def test0903_context_rules_penalty():
+    model = _contextrule_model()
+    model.add_contextrule("I; think", 0.9, [], [])
+    params = dataclasses.replace(
+        get_test_searchparams(), lm_weight=0.0, max_ngram=1
+    )
+    matches = model.find_all_matches("I tink you are rihgt", params)
+    assert model.match_to_str(matches[1]) == "sink"
+    assert model.match_to_str(matches[4]) == "right"
+
+
+def test0904_context_rules2():
+    model = _contextrule_model()
+    model.add_contextrule("think", 1.0, ["testtag"], [])
+    model.add_contextrule("are", 1.0, ["testtag"], [])
+    model.add_contextrule("right", 1.0, ["testtag"], [])
+    params = dataclasses.replace(
+        get_test_searchparams(), lm_weight=0.0, max_ngram=1
+    )
+    matches = model.find_all_matches("I tink you are rihgt", params)
+    assert matches[0].tag == []
+    assert matches[1].tag == [0]
+    assert matches[1].seqnr == [0]
+    assert model.match_to_str(matches[1]) == "think"
+    assert matches[3].tag == [0]
+    assert matches[4].tag == [0]
+    assert model.match_to_str(matches[4]) == "right"
+
+
+def test0905_context_rules_multitag():
+    model = _contextrule_model()
+    model.add_contextrule("I; think", 1.1, ["testtag", "testtag2"], [])
+    params = dataclasses.replace(
+        get_test_searchparams(), lm_weight=0.0, max_ngram=1
+    )
+    matches = model.find_all_matches("I tink you are rihgt", params)
+    assert matches[0].tag == [0, 1]
+    assert matches[0].seqnr == [0, 0]
+    assert matches[1].tag == [0, 1]
+    assert matches[1].seqnr == [1, 1]
+    assert model.match_to_str(matches[1]) == "think"
