@@ -150,6 +150,21 @@ class VariantModel:
         self._backend = backend
         self._device = None
 
+    def use_mesh(self, mesh=None, dp: Optional[int] = None) -> None:
+        """Shard the index over a device mesh (see parallel/mesh.py).
+
+        ``mesh`` defaults to a ("dp", "lex") mesh over all visible devices with
+        the given dp degree (default 1 = pure lexicon sharding).
+        """
+        from ..parallel.mesh import ShardedPipeline, make_mesh
+
+        if self.index is None:
+            raise RuntimeError("call build() before use_mesh()")
+        self._backend = "device"
+        self._device = ShardedPipeline(
+            self, make_mesh(dp=dp) if mesh is None else mesh
+        )
+
     def alphabet_size(self) -> int:
         """Alphabet size incl. the UNK symbol (lib.rs:163-165)."""
         return len(self.alphabet) + 1

@@ -104,8 +104,7 @@ def _compact(flat_mask, payload_arrays, P: int, fill_values):
     return outs
 
 
-@partial(jax.jit, static_argnames=("P", "P2"))
-def _query_fused(
+def _query_core(
     bins,  # int8 [Ni_pad, A*T]
     cc,  # int32 [Ni_pad]
     validrows,  # bool [Ni_pad]
@@ -234,6 +233,11 @@ def _query_fused(
     )
 
 
+# single-device entry point; the multi-chip path wraps _query_core in a
+# shard_map over the lexicon axis (see parallel/mesh.py)
+_query_fused = partial(jax.jit, static_argnames=("P", "P2"))(_query_core)
+
+
 class DevicePipeline:
     """Device-resident index + fused jitted query for one built model."""
 
@@ -279,6 +283,12 @@ class DevicePipeline:
         self._P2 = P2_BUCKETS[0]
 
     # ------------------------------------------------------------------
+
+    def _run_fused(self, args):
+        """One fused device call + one bundled transfer. Returns host arrays."""
+        out = _query_fused(*self._idx, *args, P=self._P, P2=self._P2)
+        got = jax.device_get(out)
+        return tuple(got[:9]) + (int(got[9]), int(got[10]))
 
     def find_variants_batch(
         self, inputs: Sequence[str], params: SearchParameters
@@ -352,13 +362,10 @@ class DevicePipeline:
 
         # fused call with sticky budgets; re-run on overflow
         while True:
-            out = _query_fused(*self._idx, *args, P=self._P, P2=self._P2)
             (
                 o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case,
                 n_keep, max_freq, total_match, total_keep,
-            ) = jax.device_get(out)
-            total_match = int(total_match)
-            total_keep = int(total_keep)
+            ) = self._run_fused(args)
             overflowed = False
             if total_match > self._P and self._P < P_BUCKETS[-1]:
                 self._P = _bucket(total_match, P_BUCKETS)
@@ -377,8 +384,13 @@ class DevicePipeline:
                 break
 
         vocab_ids = self.model.index.vocab_ids
-        # survivors arrive sorted by (query, canonical candidate); split by
-        # query with a binary search instead of a Python scan
+        # survivors arrive sorted by (query, canonical candidate): sort (a
+        # no-op for the single-device path, a shard merge for the mesh path)
+        # and split by query with a binary search
+        order = np.lexsort((o_c, o_q))
+        o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case = (
+            x[order] for x in (o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case)
+        )
         bounds = np.searchsorted(o_q, np.arange(B + 1))
 
         for row, i in enumerate(active):

@@ -1,0 +1,191 @@
+"""Multi-chip execution: lexicon + batch sharding over a device mesh.
+
+The reference's only parallelism is shared-memory data parallelism over
+independent inputs (rayon; SURVEY.md §2.8). The TPU-native equivalents here:
+
+  * **Batch data parallelism** ("dp" mesh axis): queries are sharded across
+    devices; each dp group answers its own slice of the batch.
+  * **Lexicon model parallelism** ("lex" mesh axis): the index arrays (binary
+    count planes, normalized strings, frequencies) are sharded row-wise across
+    HBM — the tensor-parallel analogue for million-entry background lexicons.
+    Every device scans only its shard; per-query keep-counts and frequency
+    maxima are combined with psum/pmax collectives over ICI, and the host
+    merges the per-shard survivor lists (already canonically ordered within a
+    shard) by global canonical index.
+
+The per-device computation is exactly ops/pipeline._query_core, so the
+single-chip and multi-chip paths cannot drift apart.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import pipeline as pl
+from ..ops.pipeline import BIG_L1, DevicePipeline, _query_core
+
+
+def make_mesh(devices: Optional[Sequence] = None, dp: Optional[int] = None) -> Mesh:
+    """Create a ("dp", "lex") mesh over the given devices.
+
+    ``dp`` defaults to 1 (pure lexicon sharding); pass dp>1 to also shard the
+    query batch.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    dp = dp or 1
+    assert n % dp == 0, f"{n} devices not divisible by dp={dp}"
+    arr = np.array(devices).reshape(dp, n // dp)
+    return Mesh(arr, ("dp", "lex"))
+
+
+class ShardedPipeline(DevicePipeline):
+    """DevicePipeline with the index sharded over a ("dp", "lex") mesh."""
+
+    def __init__(self, model, mesh: Optional[Mesh] = None):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_dp = self.mesh.shape["dp"]
+        self.n_lex = self.mesh.shape["lex"]
+
+        index = model.index
+        assert index is not None
+        self.model = model
+        self.A = model.alphabet_size()
+        self.Ni = index.size
+        self.L = max(8, index.max_norm_len)
+        counts = index.counts.astype(np.int32)
+        self.T = max(1, int(counts.max())) if counts.size else 1
+
+        # pad rows to a multiple of 128 * n_lex so shards are uniform
+        unit = 128 * self.n_lex
+        Ni_pad = max(unit, -(-self.Ni // unit) * unit)
+        self.Ni_pad = Ni_pad
+        self.Ni_shard = Ni_pad // self.n_lex
+        pad = Ni_pad - self.Ni
+
+        t_levels = np.arange(self.T, dtype=np.int32)[None, None, :]
+        bins = (counts[:, :, None] > t_levels).reshape(self.Ni, self.A * self.T)
+        bins = np.pad(bins, ((0, pad), (0, 0))).astype(np.int8)
+        cc = np.pad(index.charcounts, (0, pad), constant_values=BIG_L1).astype(
+            np.int32
+        )
+        norms = np.pad(
+            index.norms.astype(np.int32),
+            ((0, pad), (0, self.L - index.norms.shape[1])),
+        )
+        norm_lens = np.pad(index.norm_lens, (0, pad)).astype(np.int32)
+        freqs = np.pad(index.freqs.astype(np.float32), (0, pad))
+        first_lower = np.pad(index.first_lower, (0, pad))
+        validrows = np.arange(Ni_pad) < self.Ni
+
+        row_sharding = NamedSharding(self.mesh, P("lex"))
+        self._idx = tuple(
+            jax.device_put(arr, row_sharding)
+            for arr in (bins, cc, validrows, norms, norm_lens, freqs, first_lower)
+        )
+        self._P = pl.P_BUCKETS[0]
+        self._P2 = pl.P2_BUCKETS[0]
+        self._sharded_cache = {}
+
+    # ------------------------------------------------------------------
+
+    def _sharded_fn(self, P_: int, P2: int):
+        key = (P_, P2)
+        fn = self._sharded_cache.get(key)
+        if fn is not None:
+            return fn
+        mesh = self.mesh
+        Ni_shard = self.Ni_shard
+
+        idx_specs = (P("lex"),) * 7
+        q_specs = (P("dp"),) * 8  # qbin, q_cc, q_norms, q_lens, q_fl, k_ana, k_ed, stop
+        rep_specs = (P(), P(), P())  # weights, threshold, have_freq
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            # the DP loop carries constant-initialized buffers; skip the
+            # varying-manual-axes analysis (outputs are explicitly combined)
+            check_vma=False,
+            in_specs=idx_specs + q_specs + rep_specs,
+            out_specs=(
+                P(("dp", "lex")),  # o_q (globalized query rows)
+                P(("dp", "lex")),  # o_c (globalized candidate rows)
+                P(("dp", "lex")),  # o_ld
+                P(("dp", "lex")),  # o_lcs
+                P(("dp", "lex")),  # o_pf
+                P(("dp", "lex")),  # o_sf
+                P(("dp", "lex")),  # o_case
+                P("dp"),  # n_keep (psum over lex -> replicated there)
+                P("dp"),  # max_freq (pmax over lex)
+                P(("dp", "lex")),  # per-shard total_match
+                P(("dp", "lex")),  # per-shard total_keep
+            ),
+        )
+        def step(
+            bins, cc, validrows, norms, norm_lens, freqs, first_lower,
+            qbin, q_cc, q_norms, q_lens, q_first_lower, k_ana, k_ed, stop_exact,
+            weights, score_threshold, have_freq,
+        ):
+            B_local = qbin.shape[0]
+            (
+                o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case,
+                n_keep, max_freq, total_match, total_keep,
+            ) = _query_core(
+                bins, cc, validrows, norms, norm_lens, freqs, first_lower,
+                qbin, q_cc, q_norms, q_lens, q_first_lower, k_ana, k_ed,
+                stop_exact, weights, score_threshold, have_freq,
+                P=P_, P2=P2,
+            )
+            dp_i = jax.lax.axis_index("dp")
+            lex_i = jax.lax.axis_index("lex")
+            # globalize ids; invalid slots (o_q == B_local) become B_global
+            B_global = B_local * self.n_dp
+            o_q = jnp.where(o_q < B_local, o_q + dp_i * B_local, B_global)
+            o_c = o_c + lex_i * Ni_shard
+            # combine per-query stats across lexicon shards over ICI
+            n_keep = jax.lax.psum(n_keep, "lex")
+            max_freq = jax.lax.pmax(max_freq, "lex")
+            return (
+                o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case,
+                n_keep, max_freq,
+                total_match[None], total_keep[None],
+            )
+
+        fn = jax.jit(step)
+        self._sharded_cache[key] = fn
+        return fn
+
+    def _run_fused(self, args):
+        # shard query arrays over dp
+        (
+            qbin, q_cc, q_norms, q_lens, q_first_lower, k_ana, k_ed,
+            stop_exact, weights, score_threshold, have_freq,
+        ) = args
+        fn = self._sharded_fn(self._P, self._P2)
+        out = fn(
+            *self._idx,
+            qbin, q_cc, q_norms, q_lens, q_first_lower, k_ana, k_ed, stop_exact,
+            weights, score_threshold, have_freq,
+        )
+        got = jax.device_get(out)
+        (
+            o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case,
+            n_keep, max_freq, total_match, total_keep,
+        ) = got
+        # overflow checks are per (dp, lex) shard
+        return (
+            o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case, n_keep, max_freq,
+            int(np.max(total_match)), int(np.max(total_keep)),
+        )
+
+
+def get_sharded_pipeline(model, mesh: Optional[Mesh] = None) -> ShardedPipeline:
+    return ShardedPipeline(model, mesh)

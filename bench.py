@@ -1,0 +1,109 @@
+"""Benchmark: variant-query throughput on the eng.aspell lexicon.
+
+Reproduces the reference's methodology (performance.md: query a corrupted
+word list against a ~120k lexicon, steady-state items/sec) on whatever device
+JAX selects (the real TPU under the driver). Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "queries/sec", "vs_baseline": N}
+
+Baseline: 2532 queries/sec — the reference's best published multi-thread
+(8-core i7-4770K) throughput (performance.md:106-114, see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import sys
+import time
+
+
+REFERENCE_BASELINE_QPS = 2532.0  # reference v0.3.0 final opts, 8 threads
+ALPHABET = "/root/reference/examples/simple.alphabet.tsv"
+LEXICON = "/root/reference/examples/eng.aspell.lexicon"
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def corrupt(word: str, rng: random.Random) -> str:
+    if len(word) < 4:
+        return word
+    i = rng.randrange(len(word) - 1)
+    choice = rng.randrange(4)
+    if choice == 0:  # deletion
+        return word[:i] + word[i + 1 :]
+    if choice == 1:  # transposition
+        return word[:i] + word[i + 1] + word[i] + word[i + 2 :]
+    if choice == 2:  # insertion
+        return word[:i] + "x" + word[i:]
+    return word[:i] + "q" + word[i + 1 :]  # substitution
+
+
+def main():
+    from analiticcl_tpu.models.variant_model import VariantModel
+    from analiticcl_tpu.types import DistanceThreshold, SearchParameters
+    from analiticcl_tpu.vocab import VocabParams
+
+    t0 = time.time()
+    model = VariantModel(alphabet_file=ALPHABET)
+    model.read_vocabulary(LEXICON, VocabParams())
+    load_s = time.time() - t0
+
+    t0 = time.time()
+    model.build()
+    build_s = time.time() - t0
+    log(
+        f"loaded {len(model.decoder)} entries in {load_s:.1f}s; "
+        f"index built in {build_s:.1f}s ({model.index.size} instances, "
+        f"{len(model.index.group_ranges)} anagram values)"
+    )
+    model.set_backend("device")
+
+    params = SearchParameters(
+        max_anagram_distance=DistanceThreshold.absolute(3),
+        max_edit_distance=DistanceThreshold.absolute(2),
+        max_matches=10,
+        score_threshold=0.25,
+    )
+
+    rng = random.Random(42)
+    words = [model.decoder[i].text for i in range(3, len(model.decoder), 7)]
+    queries = [corrupt(w, rng) for w in words[:16384]]
+
+    B = 256
+    t0 = time.time()
+    model.find_variants_batch(queries[:B], params)
+    log(f"warmup (compile): {time.time() - t0:.1f}s")
+    # second warmup in case the pair budget escalated
+    t0 = time.time()
+    model.find_variants_batch(queries[:B], params)
+    log(f"warm batch: {time.time() - t0:.3f}s")
+
+    t0 = time.time()
+    done = 0
+    for start in range(0, len(queries), B):
+        chunk = queries[start : start + B]
+        model.find_variants_batch(chunk, params)
+        done += len(chunk)
+        if time.time() - t0 > 60 and done >= 4 * B:
+            break
+    elapsed = time.time() - t0
+    qps = done / elapsed
+    log(f"{done} queries in {elapsed:.2f}s = {qps:.0f} q/s")
+
+    print(
+        json.dumps(
+            {
+                "metric": "variant_query_throughput_eng_aspell",
+                "value": round(qps, 1),
+                "unit": "queries/sec",
+                "vs_baseline": round(qps / REFERENCE_BASELINE_QPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

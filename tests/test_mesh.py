@@ -1,0 +1,87 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from analiticcl_tpu.models.variant_model import VariantModel
+from analiticcl_tpu.types import DistanceThreshold, SearchParameters, Weights
+from analiticcl_tpu.vocab import VocabParams
+
+from fixtures import get_test_alphabet, get_test_searchparams
+
+SIMPLE_ALPHABET = "/root/reference/examples/simple.alphabet.tsv"
+ENG_LEXICON = "/root/reference/examples/eng.aspell.lexicon"
+
+
+def _result_tuples(model, results):
+    return [
+        (model.decoder[r.vocab_id].text, round(r.dist_score, 12), round(r.freq_score, 12))
+        for r in results
+    ]
+
+
+@pytest.fixture(scope="module")
+def eng_model(tmp_path_factory):
+    words = []
+    with open(ENG_LEXICON, "r", encoding="utf-8") as f:
+        for i, line in enumerate(f):
+            if i % 10 == 0:
+                words.append(line)
+    subset = tmp_path_factory.mktemp("lex") / "eng_subset.tsv"
+    subset.write_text("".join(words))
+    model = VariantModel(alphabet_file=SIMPLE_ALPHABET)
+    model.read_vocabulary(str(subset), VocabParams())
+    model.build()
+    return model
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8
+
+
+QUERIES = ["theere", "seperate", "recieve", "apox", "hous", "Amsterdam", "a", "qwrtp"]
+
+
+def test_sharded_matches_oracle_lex_only(eng_model):
+    params = SearchParameters(
+        max_anagram_distance=DistanceThreshold.absolute(3),
+        max_edit_distance=DistanceThreshold.absolute(2),
+        max_matches=10,
+    )
+    eng_model.set_backend("oracle")
+    want = [eng_model.find_variants(q, params) for q in QUERIES]
+    eng_model.use_mesh(dp=1)  # 1 x 8 lexicon shards
+    got = eng_model.find_variants_batch(QUERIES, params)
+    for q, w, g in zip(QUERIES, want, got):
+        assert _result_tuples(eng_model, g) == _result_tuples(eng_model, w), q
+
+
+def test_sharded_matches_oracle_dp_lex(eng_model):
+    params = SearchParameters(
+        max_anagram_distance=DistanceThreshold.absolute(3),
+        max_edit_distance=DistanceThreshold.absolute(2),
+        max_matches=10,
+    )
+    eng_model.set_backend("oracle")
+    want = [eng_model.find_variants(q, params) for q in QUERIES]
+    eng_model.use_mesh(dp=2)  # 2 x 4 mesh: batch + lexicon sharding
+    got = eng_model.find_variants_batch(QUERIES, params)
+    for q, w, g in zip(QUERIES, want, got):
+        assert _result_tuples(eng_model, g) == _result_tuples(eng_model, w), q
+
+
+def test_sharded_small_model():
+    alphabet, _ = get_test_alphabet()
+    model = VariantModel.new_with_alphabet(alphabet, Weights(), 0)
+    for text in ["rites", "tiers", "tires", "tries", "tyres", "rides", "brides", "dire"]:
+        model.add_to_vocabulary(text, None, VocabParams())
+    model.build()
+    params = get_test_searchparams()
+    model.set_backend("oracle")
+    want = [model.find_variants(q, params) for q in ["rite", "tire"]]
+    model.use_mesh(dp=2)
+    got = model.find_variants_batch(["rite", "tire"], params)
+    for w, g in zip(want, got):
+        assert _result_tuples(model, g) == _result_tuples(model, w)
