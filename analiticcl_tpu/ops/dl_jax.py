@@ -165,6 +165,157 @@ def dl_metrics_batch(
     return ld, lcs_best, prefix, suffix
 
 
+@functools.partial(jax.jit, static_argnames=("max_len", "window"))
+def dl_metrics_windowed(
+    a: jnp.ndarray,  # int32 [P, L] query sequences, padded with PAD_A
+    a_len: jnp.ndarray,  # int32 [P]
+    b: jnp.ndarray,  # int32 [P, L] candidate sequences, padded with PAD_B
+    b_len: jnp.ndarray,  # int32 [P]
+    max_len: int,
+    window: int,  # max edit distance for which exact values are needed
+):
+    """Windowed Damerau-Levenshtein + LCS + prefix/suffix.
+
+    Exactness contract: for every pair, if the true (unrestricted) DL is
+    <= ``window``, the returned value is exact; otherwise the returned value
+    is some number > ``window``. Proof sketch: a transposition referencing
+    mat[last][db] contributes mat[last][db] + (i-last-1) + (j-db-1) + 1, and
+    all matrix entries are >= 0, so any reference with lookback beyond
+    ``window`` rows/columns costs > window; DP values are non-decreasing along
+    optimal paths, so inflating don't-care cells never corrupts cells whose
+    true value is <= window. The engine only consumes DL values that pass the
+    per-query max_edit_distance cutoff (reference distance.rs None semantics,
+    lib.rs:1343-1389), so this is exact end-to-end whenever
+    window >= max(k_ed).
+
+    The bounded lookback removes the full DP matrix and the per-pair gather of
+    the plain kernel: the carry is a ring of the last window+2 rows, and the
+    transposition value is assembled from statically-shifted row slices — all
+    dense vector ops.
+    """
+    P, L = a.shape
+    assert L == max_len
+    W = window + 1  # lookback depth in rows/cols
+    big = 2 * L + 8
+
+    # --- prefix / suffix / lcs bookkeeping shared with the plain kernel ---
+    minlen = jnp.minimum(a_len, b_len)
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    eq = (a == b) & (pos < minlen[:, None])
+    first_mismatch = jnp.min(
+        jnp.where((~eq) & (pos < minlen[:, None]), pos, big), axis=1
+    )
+    prefix = jnp.where(first_mismatch == big, minlen, first_mismatch)
+
+    def shift_end(x, lens, pad):
+        idx = pos - (L - lens[:, None])
+        return jnp.where(
+            idx >= 0, jnp.take_along_axis(x, jnp.maximum(idx, 0), axis=1), pad
+        )
+
+    a_r = shift_end(a, a_len, PAD_A)
+    b_r = shift_end(b, b_len, PAD_B)
+    eq_r = (a_r == b_r) & (pos >= (L - minlen)[:, None])
+    last_mismatch = jnp.max(
+        jnp.where((~eq_r) & (pos >= (L - minlen)[:, None]), pos, -1), axis=1
+    )
+    suffix = jnp.where(last_mismatch < 0, minlen, L - 1 - last_mismatch)
+
+    cols = jnp.arange(1, L + 1, dtype=jnp.int32)[None, :]  # j = 1..L
+    jidx = jnp.arange(0, L + 1, dtype=jnp.int32)[None, :]
+
+    # rows ring: ring[d] = DP row mat[i-d] over columns j=0..L (mat col j+1),
+    # where "mat" follows distance.rs indexing. mat[r][0-col] sentinel handled
+    # by the out-of-window INF default.
+    # Initial: computing row for s[0] (mat row 2) uses prev = mat[1] = 0..L.
+    row_init = jnp.broadcast_to(
+        jnp.arange(0, L + 1, dtype=jnp.int32)[None, :], (P, L + 1)
+    )
+    ring0 = (row_init,) + tuple(
+        jnp.full((P, L + 1), big, dtype=jnp.int32) for _ in range(W)
+    )
+
+    def row_body(i1, carry):
+        ring, lastrow_col, lcs_prev, lcs_best, res = carry
+        i = i1 + 1  # mat row being read is mat[i] = ring[0]; writing mat[i+1]
+        s_char = jax.lax.dynamic_slice_in_dim(a, i1, 1, axis=1)  # [P, 1]
+        match = b == s_char  # [P, L]
+
+        jm = jnp.where(match, cols, 0)
+        db = jnp.concatenate(
+            [jnp.zeros((P, 1), jnp.int32), jax.lax.cummax(jm, axis=1)[:, :-1]],
+            axis=1,
+        )  # [P, L] per column j=1..L
+        last = lastrow_col  # [P, L]
+
+        cost = jnp.where(match, 0, 1)
+        prev_row = ring[0]  # mat[i], columns j=0..L at positions 0..L
+        sub = prev_row[:, 0:L] + cost  # mat[i][j] + cost   (j=1..L)
+        ins = prev_row[:, 1 : L + 1] + 1  # mat[i][j+1] + 1
+
+        # transposition from the bounded window:
+        #   term = mat[last][db] + (i-last-1) + (j-db-1) + 1
+        # last in [i-W, i-1]  -> ring depth d = i-last in [1, W]
+        # db   in [j-W, j-1]  -> column shift s = j-db in [1, W]
+        transp = jnp.full((P, L), big * 4, dtype=jnp.int32)
+        for d in range(1, W + 1):
+            row_d = ring[d] if d < len(ring) else None
+            if row_d is None:
+                continue
+            sel_row = last == (i - d)
+            for s in range(1, W + 1):
+                sel = sel_row & (db == (cols - s))
+                # mat[i-d][j-s] lives at ring[d] position (j-s) for j-s>=0
+                shifted = jnp.concatenate(
+                    [
+                        jnp.full((P, s), big, dtype=jnp.int32),
+                        row_d[:, : L + 1 - s],
+                    ],
+                    axis=1,
+                )[:, 0:L]  # value of mat[i-d][j-s] for j=1..L; j-s<1 -> big
+                term = shifted + (d - 1) + 1 + (s - 1)
+                transp = jnp.where(sel, term, transp)
+
+        cand = jnp.minimum(jnp.minimum(sub, ins), transp)
+        shifted0 = jnp.concatenate(
+            [jnp.full((P, 1), i, dtype=jnp.int32), cand], axis=1
+        )
+        scan_in = shifted0 - jidx
+        new_vals = jax.lax.cummin(scan_in, axis=1) + jidx  # positions 0..L
+        new_row = new_vals  # column j at position j (j=0 -> value i)
+
+        # capture the result when this is the last real row of `a`
+        res_col = jnp.take_along_axis(
+            new_row, jnp.maximum(b_len[:, None], 0), axis=1
+        )[:, 0]
+        res = jnp.where(i1 == a_len - 1, res_col, res)
+
+        lastrow_col = jnp.where(match, i, lastrow_col)
+
+        valid = match & (i1 < a_len[:, None]) & (pos < b_len[:, None])
+        lcs_shift = jnp.concatenate(
+            [jnp.zeros((P, 1), jnp.int32), lcs_prev[:, :-1]], axis=1
+        )
+        lcs_new = jnp.where(valid, lcs_shift + 1, 0)
+        lcs_best = jnp.maximum(lcs_best, jnp.max(lcs_new, axis=1))
+
+        ring = (new_row,) + ring[:-1]
+        return ring, lastrow_col, lcs_new, lcs_best, res
+
+    init = (
+        ring0,
+        jnp.zeros((P, L), jnp.int32),
+        jnp.zeros((P, L), jnp.int32),
+        jnp.zeros((P,), jnp.int32),
+        jnp.zeros((P,), jnp.int32),
+    )
+    _, _, _, lcs_best, res = jax.lax.fori_loop(0, L, row_body, init)
+
+    ld = jnp.where(a_len == 0, b_len, res)
+    ld = jnp.where(b_len == 0, a_len, ld)
+    return ld, lcs_best, prefix, suffix
+
+
 def dl_metrics_chunked(a, a_len, b, b_len, max_len: int, chunk: int = 8192):
     """Apply dl_metrics_batch in fixed-size chunks to bound the DP matrix
     footprint (P * (L+2)^2 * 4 bytes)."""

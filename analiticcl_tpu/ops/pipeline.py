@@ -64,16 +64,17 @@ if jax.config.jax_compilation_cache_dir is None:
         _os.path.expanduser("~/.cache/jax_analiticcl"),
     )
 
-from .dl_jax import PAD_A, PAD_B, dl_metrics_batch
+from .dl_jax import PAD_A, PAD_B, dl_metrics_windowed
 from ..types import Distance, SearchParameters, StopCriterion, VariantResult
 
 BIG_L1 = np.int32(1 << 28)
 THRESHOLD_SLACK = 1e-4
 
 # static shape buckets
-B_BUCKETS = (8, 64, 256)
+B_BUCKETS = (8, 64, 256, 1024)
 P_BUCKETS = (2048, 8192, 32768, 131072, 524288)  # candidate-pair budget
 P2_BUCKETS = (2048, 16384, 131072)  # surviving-pair budget
+WINDOW_BUCKETS = (3, 12)  # DL exactness windows (12 = reference MAX_EDIT_DISTANCE)
 DL_CHUNK = 16384
 
 
@@ -125,6 +126,7 @@ def _query_core(
     have_freq,  # bool scalar
     P: int,
     P2: int,
+    window: int,  # exactness window for DL (>= max per-query edit distance)
 ):
     B = qbin.shape[0]
     Ni_pad = bins.shape[0]
@@ -170,13 +172,13 @@ def _query_core(
     b = jnp.where(pos < cl[:, None], cn, PAD_B)
 
     if P <= DL_CHUNK:
-        ld, lcs, pf, sf = dl_metrics_batch(a, ql, b, cl, L)
+        ld, lcs, pf, sf = dl_metrics_windowed(a, ql, b, cl, L, window)
     else:
         nchunk = P // DL_CHUNK
 
         def chunk_fn(args):
             ca, cal, cb, cbl = args
-            return dl_metrics_batch(ca, cal, cb, cbl, L)
+            return dl_metrics_windowed(ca, cal, cb, cbl, L, window)
 
         ld, lcs, pf, sf = jax.lax.map(
             chunk_fn,
@@ -235,7 +237,7 @@ def _query_core(
 
 # single-device entry point; the multi-chip path wraps _query_core in a
 # shard_map over the lexicon axis (see parallel/mesh.py)
-_query_fused = partial(jax.jit, static_argnames=("P", "P2"))(_query_core)
+_query_fused = partial(jax.jit, static_argnames=("P", "P2", "window"))(_query_core)
 
 
 class DevicePipeline:
@@ -284,9 +286,11 @@ class DevicePipeline:
 
     # ------------------------------------------------------------------
 
-    def _run_fused(self, args):
+    def _run_fused(self, args, window: int):
         """One fused device call + one bundled transfer. Returns host arrays."""
-        out = _query_fused(*self._idx, *args, P=self._P, P2=self._P2)
+        out = _query_fused(
+            *self._idx, *args, P=self._P, P2=self._P2, window=window
+        )
         got = jax.device_get(out)
         return tuple(got[:9]) + (int(got[9]), int(got[10]))
 
@@ -360,12 +364,16 @@ class DevicePipeline:
             jnp.asarray(model.have_freq),
         )
 
+        # DL exactness window: the smallest static bucket covering every
+        # per-query max edit distance in the batch
+        window = _bucket(int(k_ed.max(initial=0)), WINDOW_BUCKETS)
+
         # fused call with sticky budgets; re-run on overflow
         while True:
             (
                 o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case,
                 n_keep, max_freq, total_match, total_keep,
-            ) = self._run_fused(args)
+            ) = self._run_fused(args, window)
             overflowed = False
             if total_match > self._P and self._P < P_BUCKETS[-1]:
                 self._P = _bucket(total_match, P_BUCKETS)

@@ -96,8 +96,8 @@ class ShardedPipeline(DevicePipeline):
 
     # ------------------------------------------------------------------
 
-    def _sharded_fn(self, P_: int, P2: int):
-        key = (P_, P2)
+    def _sharded_fn(self, P_: int, P2: int, window: int):
+        key = (P_, P2, window)
         fn = self._sharded_cache.get(key)
         if fn is not None:
             return fn
@@ -142,7 +142,7 @@ class ShardedPipeline(DevicePipeline):
                 bins, cc, validrows, norms, norm_lens, freqs, first_lower,
                 qbin, q_cc, q_norms, q_lens, q_first_lower, k_ana, k_ed,
                 stop_exact, weights, score_threshold, have_freq,
-                P=P_, P2=P2,
+                P=P_, P2=P2, window=window,
             )
             dp_i = jax.lax.axis_index("dp")
             lex_i = jax.lax.axis_index("lex")
@@ -163,13 +163,13 @@ class ShardedPipeline(DevicePipeline):
         self._sharded_cache[key] = fn
         return fn
 
-    def _run_fused(self, args):
+    def _run_fused(self, args, window: int):
         # shard query arrays over dp
         (
             qbin, q_cc, q_norms, q_lens, q_first_lower, k_ana, k_ed,
             stop_exact, weights, score_threshold, have_freq,
         ) = args
-        fn = self._sharded_fn(self._P, self._P2)
+        fn = self._sharded_fn(self._P, self._P2, window)
         out = fn(
             *self._idx,
             qbin, q_cc, q_norms, q_lens, q_first_lower, k_ana, k_ed, stop_exact,

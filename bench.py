@@ -72,7 +72,7 @@ def main():
     words = [model.decoder[i].text for i in range(3, len(model.decoder), 7)]
     queries = [corrupt(w, rng) for w in words[:16384]]
 
-    B = 256
+    B = 1024
     t0 = time.time()
     model.find_variants_batch(queries[:B], params)
     log(f"warmup (compile): {time.time() - t0:.1f}s")
