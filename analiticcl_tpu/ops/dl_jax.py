@@ -165,6 +165,37 @@ def dl_metrics_batch(
     return ld, lcs_best, prefix, suffix
 
 
+def affix_metrics(a, a_len, b, b_len):
+    """Common prefix/suffix lengths as dense vector ops (distance.rs:208-231).
+
+    a/b are [P, L] padded with PAD_A/PAD_B; returns (prefix, suffix) int32 [P].
+    """
+    P, L = a.shape
+    big = 2 * L + 8
+    minlen = jnp.minimum(a_len, b_len)
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    eq = (a == b) & (pos < minlen[:, None])
+    first_mismatch = jnp.min(
+        jnp.where((~eq) & (pos < minlen[:, None]), pos, big), axis=1
+    )
+    prefix = jnp.where(first_mismatch == big, minlen, first_mismatch)
+
+    def shift_end(x, lens, pad):
+        idx = pos - (L - lens[:, None])
+        return jnp.where(
+            idx >= 0, jnp.take_along_axis(x, jnp.maximum(idx, 0), axis=1), pad
+        )
+
+    a_r = shift_end(a, a_len, PAD_A)
+    b_r = shift_end(b, b_len, PAD_B)
+    eq_r = (a_r == b_r) & (pos >= (L - minlen)[:, None])
+    last_mismatch = jnp.max(
+        jnp.where((~eq_r) & (pos >= (L - minlen)[:, None]), pos, -1), axis=1
+    )
+    suffix = jnp.where(last_mismatch < 0, minlen, L - 1 - last_mismatch)
+    return prefix, suffix
+
+
 @functools.partial(jax.jit, static_argnames=("max_len", "window"))
 def dl_metrics_windowed(
     a: jnp.ndarray,  # int32 [P, L] query sequences, padded with PAD_A

@@ -64,8 +64,16 @@ if jax.config.jax_compilation_cache_dir is None:
         _os.path.expanduser("~/.cache/jax_analiticcl"),
     )
 
-from .dl_jax import PAD_A, PAD_B, dl_metrics_windowed
+from .dl_jax import PAD_A, PAD_B, affix_metrics, dl_metrics_windowed
 from ..types import Distance, SearchParameters, StopCriterion, VariantResult
+
+
+def _use_pallas() -> bool:
+    """Pallas TPU kernels require a real TPU backend (tests run on CPU)."""
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
 
 BIG_L1 = np.int32(1 << 28)
 THRESHOLD_SLACK = 1e-4
@@ -171,7 +179,14 @@ def _query_core(
     a = jnp.where(pos < ql[:, None], qn, PAD_A)
     b = jnp.where(pos < cl[:, None], cn, PAD_B)
 
-    if P <= DL_CHUNK:
+    if _use_pallas() and P % 1024 == 0:
+        # TPU: banded/windowed DP as a Pallas kernel (pairs in lanes);
+        # prefix/suffix stay as dense XLA vector ops
+        from .dl_pallas import dl_lcs_pallas
+
+        ld, lcs = dl_lcs_pallas(a, ql, b, cl, L, window)
+        pf, sf = affix_metrics(a, ql, b, cl)
+    elif P <= DL_CHUNK:
         ld, lcs, pf, sf = dl_metrics_windowed(a, ql, b, cl, L, window)
     else:
         nchunk = P // DL_CHUNK
