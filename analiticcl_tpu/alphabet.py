@@ -155,12 +155,15 @@ class AlphabetEncoder:
     def normalize_batch_padded(
         self, texts: Sequence[str], pad_to: int
     ) -> "tuple[np.ndarray, np.ndarray]":
-        """Normalize a batch to a padded uint16 matrix plus lengths.
+        """Normalize a batch to a padded int32 matrix plus true lengths.
 
-        Entries longer than ``pad_to`` are truncated (callers should bucket by
-        length so that this never truncates in practice).
+        Uses the native C++ matcher (utils/native.py) when available; entries
+        longer than ``pad_to`` are truncated (lens still report true length).
         """
-        out = np.zeros((len(texts), pad_to), dtype=np.uint16)
+        native = self._native_matcher()
+        if native is not None:
+            return native.normalize_batch(texts, pad_to)
+        out = np.zeros((len(texts), pad_to), dtype=np.int32)
         lens = np.zeros(len(texts), dtype=np.int32)
         for row, text in enumerate(texts):
             norm = self.normalize(text)
@@ -168,3 +171,36 @@ class AlphabetEncoder:
             norm = norm[:pad_to]
             out[row, : len(norm)] = norm
         return out, lens
+
+    def _native_matcher(self):
+        if not hasattr(self, "_native"):
+            try:
+                from .utils.native import NativeMatcher, available
+
+                self._native = NativeMatcher(self.alphabet) if available() else None
+            except Exception:
+                self._native = None
+        return self._native
+
+    def counts_from_norms(self, norms: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """Derive count vectors from padded normalized strings.
+
+        The UNK convention differs between norm strings (len(alphabet)+1,
+        anahash.rs:76) and count vectors (len(alphabet), anahash.rs:42);
+        remapped here.
+        """
+        if self._native_matcher() is not None:
+            from .utils.native import counts_batch
+
+            out = counts_batch(norms, lens, self.size)
+            if out is not None:
+                return out
+        n, L = norms.shape
+        nbins = self.size + 1  # one extra trash bin for padding positions
+        pos = np.arange(L, dtype=np.int32)[None, :]
+        valid = pos < np.minimum(lens, L)[:, None]
+        cls = np.minimum(norms, self.unk_count_index).astype(np.int64)
+        np.putmask(cls, ~valid, self.size)  # padding -> trash bin
+        cls += np.arange(n, dtype=np.int64)[:, None] * nbins
+        counts = np.bincount(cls.ravel(), minlength=n * nbins).reshape(n, nbins)
+        return np.minimum(counts[:, : self.size], 255).astype(np.uint8)

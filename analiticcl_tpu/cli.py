@@ -565,10 +565,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         print("Computing and outputting anagram index...", file=sys.stderr)
         index = model.index
         if index is not None:
-            for (start, end), anavalue in zip(
-                index.group_ranges, index.group_anavalues
-            ):
-                parts = [str(anavalue)]
+            for g, (start, end) in enumerate(index.group_ranges):
+                parts = [str(index.group_anavalue(g))]
                 for row in range(start, end):
                     parts.append(model.decoder[int(index.vocab_ids[row])].text)
                 print("\t".join(parts))

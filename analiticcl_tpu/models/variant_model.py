@@ -85,13 +85,25 @@ class BuiltIndex:
     first_lower: np.ndarray  # bool   [Ni]
     max_norm_len: int
     # anagram grouping (for get_anagram_instances / index dump)
-    group_lookup: Dict[bytes, Tuple[int, int]]
-    group_anavalues: List[int]  # bigint per group, ascending
+    group_lookup: Optional[Dict[bytes, Tuple[int, int]]]  # built lazily
+    group_anavalues: Optional[List[int]]  # bigints, computed lazily
     group_ranges: List[Tuple[int, int]]
+
+    def lookup(self) -> Dict[bytes, Tuple[int, int]]:
+        if self.group_lookup is None:
+            self.group_lookup = {
+                self.counts[s].tobytes(): (s, e) for s, e in self.group_ranges
+            }
+        return self.group_lookup
 
     @property
     def size(self) -> int:
         return len(self.vocab_ids)
+
+    def group_anavalue(self, g: int) -> int:
+        """Prime-product anagram value of group ``g`` (ascending in g)."""
+        start, _ = self.group_ranges[g]
+        return counts_to_anavalue(self.counts[start])
 
 
 class VariantModel:
@@ -192,6 +204,7 @@ class VariantModel:
             vocab_type=params.vocab_type,
             index=len(self.lexicons),
         )
+        rows: List[Tuple[str, int]] = []
         with open(filename, "r", encoding="utf-8") as f:
             for line in f:
                 line = line.rstrip("\n")
@@ -208,7 +221,21 @@ class VariantModel:
                         frequency = 1
                 else:
                     frequency = 1
-                self.add_to_vocabulary(text, frequency, params)
+                rows.append((text, frequency))
+        # chunked batch normalization (native C++ when available)
+        CHUNK = 65536
+        for start in range(0, len(rows), CHUNK):
+            chunk = rows[start : start + CHUNK]
+            texts = [t for t, _ in chunk]
+            pad = max((len(t.encode("utf-8")) for t in texts), default=1) or 1
+            norms, lens = self.enc.normalize_batch_padded(texts, pad)
+            for row, (text, frequency) in enumerate(chunk):
+                self.add_to_vocabulary(
+                    text,
+                    frequency,
+                    params,
+                    norm=norms[row, : lens[row]].tolist(),
+                )
         self.lexicons.append(filename)
 
     # alias matching the Python binding surface
@@ -355,9 +382,14 @@ class VariantModel:
             )
 
     def add_to_vocabulary(
-        self, text: str, frequency: Optional[int], params: VocabParams
+        self,
+        text: str,
+        frequency: Optional[int],
+        params: VocabParams,
+        norm: Optional[List[int]] = None,
     ) -> VocabId:
-        """Add/merge an entry (lib.rs:900-967)."""
+        """Add/merge an entry (lib.rs:900-967). ``norm`` may carry a
+        precomputed normalization (batch ingestion path)."""
         frequency = frequency if frequency is not None else 1
         vocab_id = self.encoder.get(text)
         if vocab_id is not None:
@@ -384,7 +416,7 @@ class VariantModel:
         self.decoder.append(
             VocabValue(
                 text=text,
-                norm=self.enc.normalize(text),
+                norm=norm if norm is not None else self.enc.normalize(text),
                 frequency=frequency,
                 tokencount=text.count(" ") + 1,
                 lexindex=1 << params.index,
@@ -440,48 +472,95 @@ class VariantModel:
     # ------------------------------------------------------------------
 
     def build(self) -> None:
-        """Build the array index + language model (lib.rs:192-297)."""
-        A = self.alphabet_size()
-        entries: List[Tuple[int, VocabId]] = []  # (anavalue bigint, vocab id)
-        counts_rows: List[np.ndarray] = []
-        for vid, value in enumerate(self.decoder):
-            if value.vocabtype.check(VocabType.INDEXED):
-                counts = self._norm_to_counts(value.text, A)
-                entries.append((counts_to_anavalue(counts), vid))
-                counts_rows.append(counts)
+        """Build the array index + language model (lib.rs:192-297).
 
-        if entries:
-            order = sorted(range(len(entries)), key=lambda i: entries[i])
-            vocab_ids = np.array([entries[i][1] for i in order], dtype=np.int64)
-            counts = np.stack([counts_rows[i] for i in order]).astype(np.uint8)
-            charcounts = counts.sum(axis=1, dtype=np.int32)
-            max_norm_len = max(
-                (len(self.decoder[int(v)].norm) for v in vocab_ids), default=1
+        Array construction is fully batched: one native normalization pass
+        over all indexed entries, count vectors via a single bincount, and
+        the canonical (anagram value, vocab id) sort over 512-bit big-endian
+        prime-product keys computed natively (exact Python-int fallback)."""
+        A = self.alphabet_size()
+        indexed_flag = int(VocabType.INDEXED)
+        indexed_vids = [
+            vid
+            for vid, value in enumerate(self.decoder)
+            # .value & flag avoids IntFlag.__and__ overhead (2M+ calls)
+            if value.vocabtype.value & indexed_flag
+        ]
+
+        if indexed_vids:
+            texts = [self.decoder[vid].text for vid in indexed_vids]
+            pad = max(max((len(t.encode("utf-8")) for t in texts), default=1), 1)
+            norms_all, lens_all = self.enc.normalize_batch_padded(texts, pad)
+            max_norm_len = max(int(lens_all.max()), 1)
+            norms_all = norms_all[:, :max_norm_len]
+            counts = self.enc.counts_from_norms(norms_all, lens_all)
+
+            # canonical sort keys: big-endian prime products
+            from ..types import PRIMES
+            from ..utils.native import anavalue_bytes_batch
+
+            primes = PRIMES[: A]
+            keys = anavalue_bytes_batch(
+                norms_all, lens_all, primes, self.enc.unk_norm_index
             )
-            max_norm_len = max(max_norm_len, 1)
-            norms = np.zeros((len(vocab_ids), max_norm_len), dtype=np.uint16)
-            norm_lens = np.zeros(len(vocab_ids), dtype=np.int32)
-            freqs = np.zeros(len(vocab_ids), dtype=np.float64)
-            first_lower = np.zeros(len(vocab_ids), dtype=bool)
-            for row, vid in enumerate(vocab_ids):
-                item = self.decoder[int(vid)]
-                norm = item.norm
-                norm_lens[row] = len(norm)
-                norms[row, : len(norm)] = norm
-                freqs[row] = item.frequency
-                first_lower[row] = item.text[:1].islower() if item.text else False
-            # group by anagram value (entries are sorted, so groups are runs)
-            group_lookup: Dict[bytes, Tuple[int, int]] = {}
-            group_anavalues: List[int] = []
-            group_ranges: List[Tuple[int, int]] = []
-            start = 0
-            for row in range(1, len(order) + 1):
-                if row == len(order) or entries[order[row]][0] != entries[order[start]][0]:
-                    key = counts[start].tobytes()
-                    group_lookup[key] = (start, row)
-                    group_anavalues.append(entries[order[start]][0])
-                    group_ranges.append((start, row))
-                    start = row
+            vids_arr = np.asarray(indexed_vids, dtype=np.int64)
+            if keys is not None:
+                skeys = keys.view("S64").reshape(-1)
+                saturated = skeys == b"\xff" * 64
+                rec = np.empty(
+                    len(vids_arr), dtype=[("k", "S64"), ("v", "<i8")]
+                )
+                rec["k"] = skeys
+                rec["v"] = vids_arr
+                order = np.argsort(rec, order=("k", "v"), kind="stable")
+                if saturated.any():
+                    # exact ordering among >512-bit values via Python ints
+                    sat_rows = np.nonzero(saturated)[0]
+                    sat_in_order = [r for r in order if saturated[r]]
+                    sat_sorted = sorted(
+                        sat_in_order,
+                        key=lambda r: (
+                            counts_to_anavalue(counts[r]),
+                            vids_arr[r],
+                        ),
+                    )
+                    order = np.concatenate(
+                        [order[~saturated[order]], np.asarray(sat_sorted)]
+                    ).astype(order.dtype)
+            else:
+                order = np.asarray(
+                    sorted(
+                        range(len(vids_arr)),
+                        key=lambda r: (counts_to_anavalue(counts[r]), vids_arr[r]),
+                    )
+                )
+
+            vocab_ids = vids_arr[order]
+            counts = counts[order]
+            norms = np.ascontiguousarray(norms_all[order], dtype=np.int32)
+            norm_lens = np.minimum(lens_all[order], max_norm_len).astype(np.int32)
+            charcounts = counts.sum(axis=1, dtype=np.int32)
+            decoder = self.decoder
+            freqs = np.fromiter(
+                (decoder[v].frequency for v in vocab_ids),
+                dtype=np.float64,
+                count=len(vocab_ids),
+            )
+            first_lower = np.fromiter(
+                (
+                    decoder[v].text[:1].islower() if decoder[v].text else False
+                    for v in vocab_ids
+                ),
+                dtype=bool,
+                count=len(vocab_ids),
+            )
+            # group boundaries: runs of identical count vectors in sorted order
+            n = len(vocab_ids)
+            boundary = np.ones(n, dtype=bool)
+            boundary[1:] = np.any(counts[1:] != counts[:-1], axis=1)
+            starts = np.nonzero(boundary)[0]
+            ends = np.append(starts[1:], n)
+            group_ranges = list(zip(starts.tolist(), ends.tolist()))
             self.index = BuiltIndex(
                 vocab_ids=vocab_ids,
                 counts=counts,
@@ -491,8 +570,8 @@ class VariantModel:
                 freqs=freqs,
                 first_lower=first_lower,
                 max_norm_len=max_norm_len,
-                group_lookup=group_lookup,
-                group_anavalues=group_anavalues,
+                group_lookup=None,  # built lazily on first exact lookup
+                group_anavalues=None,  # computed lazily (see group_anavalue)
                 group_ranges=group_ranges,
             )
         else:
@@ -503,8 +582,9 @@ class VariantModel:
         self.ngrams.clear()
         self.freq_sum = [0]
         unseen_parts: Dict[str, VocabId] = {}
+        lm_flag = int(VocabType.LM)
         for vid in range(len(self.decoder)):
-            if self.decoder[vid].vocabtype.check(VocabType.LM):
+            if self.decoder[vid].vocabtype.value & lm_flag:
                 ngram = self.into_ngram(vid, unseen_parts)
                 if ngram is None:  # order > 5: reference errors out and skips
                     continue
@@ -541,13 +621,13 @@ class VariantModel:
     # ------------------------------------------------------------------
 
     def contains_anagram(self, counts: np.ndarray) -> bool:
-        return self.index is not None and counts.tobytes() in self.index.group_lookup
+        return self.index is not None and counts.tobytes() in self.index.lookup()
 
     def get_anagram_instances(self, text: str) -> List[VocabValue]:
         if self.index is None:
             return []
         key = self.enc.count_vector(text).tobytes()
-        rng = self.index.group_lookup.get(key)
+        rng = self.index.lookup().get(key)
         if rng is None:
             return []
         return [

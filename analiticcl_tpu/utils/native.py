@@ -1,0 +1,205 @@
+"""ctypes bindings for the native host kernels (native/ananorm.cpp).
+
+Loads ``native/libananorm.so`` if present (building it on first use when a
+compiler is available); every caller has a pure-Python fallback, so the
+native library is an accelerator, never a requirement.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libananorm.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO_PATH):
+            src = os.path.join(_NATIVE_DIR, "ananorm.cpp")
+            if os.path.exists(src):
+                try:
+                    subprocess.run(
+                        ["make", "-C", _NATIVE_DIR],
+                        check=True,
+                        capture_output=True,
+                        timeout=120,
+                    )
+                except Exception as e:  # no compiler / build failure: fall back
+                    print(
+                        f"note: native ananorm build unavailable ({e}); "
+                        "using pure-Python normalization",
+                        file=sys.stderr,
+                    )
+                    return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            return None
+        lib.ananorm_build.restype = ctypes.c_void_p
+        lib.ananorm_build.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
+        lib.ananorm_free.argtypes = [ctypes.c_void_p]
+        lib.ananorm_normalize_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.ananorm_counts_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.ananorm_anavalue_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class NativeMatcher:
+    """Native greedy alphabet matcher (one per Alphabet)."""
+
+    def __init__(self, alphabet: Sequence[Sequence[str]]):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self.n_classes = len(alphabet)
+        elements: List[bytes] = []
+        classes: List[int] = []
+        for cls, group in enumerate(alphabet):
+            for element in group:
+                elements.append(element.encode("utf-8"))
+                classes.append(cls)
+        blob = b"".join(elements)
+        offsets = np.zeros(len(elements) + 1, dtype=np.int64)
+        np.cumsum([len(e) for e in elements], out=offsets[1:])
+        cls_arr = np.asarray(classes, dtype=np.int32)
+        self._handle = lib.ananorm_build(
+            blob,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cls_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(elements),
+            self.n_classes,
+        )
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.ananorm_free(self._handle)
+        except Exception:
+            pass
+
+    def normalize_batch(
+        self, texts: Sequence[str], max_len: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (norms int32 [n, max_len] 0-padded, lens int32 [n]).
+
+        lens may exceed max_len for over-long texts (norm truncated)."""
+        encoded = [t.encode("utf-8") for t in texts]
+        blob = b"".join(encoded)
+        offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum(
+            np.fromiter((len(e) for e in encoded), dtype=np.int64, count=len(encoded)),
+            out=offsets[1:],
+        )
+        norms = np.zeros((len(texts), max_len), dtype=np.int32)
+        lens = np.zeros(len(texts), dtype=np.int32)
+        self._lib.ananorm_normalize_batch(
+            self._handle,
+            blob,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(texts),
+            max_len,
+            norms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return norms, lens
+
+
+def counts_batch(
+    norms: np.ndarray, lens: np.ndarray, n_slots: int
+) -> Optional[np.ndarray]:
+    """Count vectors [n, n_slots] uint8 from padded norms; None if no native."""
+    lib = _load()
+    if lib is None:
+        return None
+    norms = np.ascontiguousarray(norms, dtype=np.int32)
+    lens = np.ascontiguousarray(lens, dtype=np.int32)
+    out = np.zeros((norms.shape[0], n_slots), dtype=np.uint8)
+    lib.ananorm_counts_batch(
+        norms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        norms.shape[0],
+        norms.shape[1],
+        n_slots,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out
+
+
+def anavalue_bytes_batch(
+    norms: np.ndarray,
+    lens: np.ndarray,
+    primes: Sequence[int],
+    unk_norm_index: int,
+) -> Optional[np.ndarray]:
+    """64-byte big-endian prime products per row; None if native unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    norms = np.ascontiguousarray(norms, dtype=np.int32)
+    lens = np.ascontiguousarray(lens, dtype=np.int32)
+    primes_arr = np.asarray(primes, dtype=np.uint32)
+    out = np.zeros((norms.shape[0], 64), dtype=np.uint8)
+    lib.ananorm_anavalue_batch(
+        norms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        norms.shape[0],
+        norms.shape[1],
+        primes_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        len(primes_arr),
+        unk_norm_index,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out
