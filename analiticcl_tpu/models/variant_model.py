@@ -181,6 +181,19 @@ class VariantModel:
         """Alphabet size incl. the UNK symbol (lib.rs:163-165)."""
         return len(self.alphabet) + 1
 
+    def save(self, path: str) -> None:
+        """Checkpoint the model (vocabulary, links, LM, built index) to .npz."""
+        from ..checkpoint import save_model
+
+        save_model(self, path)
+
+    @classmethod
+    def load(cls, path: str, backend: str = "auto") -> "VariantModel":
+        """Restore a model checkpointed with :meth:`save`."""
+        from ..checkpoint import load_model
+
+        return load_model(path, backend)
+
     def read_confusablelist(self, filename: str) -> None:
         """TSV: sesdiff edit script + optional weight (lib.rs:414-441)."""
         with open(filename, "r", encoding="utf-8") as f:

@@ -1,0 +1,126 @@
+"""Learn-mode and checkpoint/resume tests."""
+
+import dataclasses
+
+import pytest
+
+from analiticcl_tpu.models.variant_model import VariantModel
+from analiticcl_tpu.types import VariantReferenceKind, Weights
+from analiticcl_tpu.vocab import VocabParams, VocabType
+
+from fixtures import get_test_alphabet, get_test_searchparams
+
+
+def _model(words=("right", "think", "you", "are")):
+    alphabet, _ = get_test_alphabet()
+    model = VariantModel.new_with_alphabet(alphabet, Weights(), 0)
+    for w in words:
+        model.add_to_vocabulary(w, 2, VocabParams())
+    model.build()
+    return model
+
+
+def test_learn_strict_adds_transparent_variants():
+    model = _model()
+    count = model.learn_variants(
+        ["rihgt", "thinck", "rihgt"], get_test_searchparams(), strict=True
+    )
+    assert count > 0
+    # learned variants become transparent vocabulary entries with links
+    vid = model.encoder["rihgt"]
+    item = model.decoder[vid]
+    assert item.vocabtype.check(VocabType.TRANSPARENT)
+    assert any(
+        ref.kind is VariantReferenceKind.VARIANT_OF for ref in item.variants
+    )
+    # non-consecutive re-occurrence increments frequency (lib.rs:1109-1113;
+    # consecutive repeats of the same input do not)
+    assert item.frequency == 2
+    # a later query for the learned form resolves to the canonical word
+    results = model.find_variants("rihgt", get_test_searchparams())
+    texts = [model.decoder[r.vocab_id].text for r in results]
+    assert "right" in texts
+    assert "rihgt" not in texts  # transparent: never a solution itself
+
+
+def test_learn_repeat_does_not_grow_links():
+    model = _model()
+    first = model.learn_variants(["rihgt"], get_test_searchparams(), strict=True)
+    assert first > 0
+    right = model.encoder["right"]
+    nrefs = len(model.decoder[right].variants)
+    # Re-learning reports counts again (the reference's add_variant_by_id
+    # returns true for existing links too, lib.rs:478-514). The ReferenceFor
+    # side dedups first-mention-wins; the VariantOf side duplicates, mirroring
+    # the reference's comparison quirk (lib.rs:502 compares against the wrong
+    # id) — expansion dedup downstream absorbs the duplicates.
+    second = model.learn_variants(["rihgt"], get_test_searchparams(), strict=True)
+    assert second >= 0
+    assert len(model.decoder[right].variants) == nrefs
+    results = model.find_variants("rihgt", get_test_searchparams())
+    assert [model.decoder[r.vocab_id].text for r in results].count("right") == 1
+
+
+def test_learn_search_mode():
+    model = _model()
+    params = dataclasses.replace(get_test_searchparams(), max_ngram=1)
+    count = model.learn_variants(
+        ["you are rihgt"], params, strict=False
+    )
+    assert count > 0
+    assert "rihgt" in model.encoder
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = _model()
+    model.add_to_confusables("-[y]+[i]", 1.1)
+    model.add_contextrule("you; are", 1.1, ["tag1"], [])
+    model.add_to_vocabulary(
+        "you are", 2, VocabParams(vocab_type=VocabType.LM)
+    )
+    model.have_freq = True
+    model.build()
+    params = get_test_searchparams()
+    want = [
+        [
+            (model.decoder[r.vocab_id].text, r.dist_score, r.freq_score)
+            for r in model.find_variants(q, params)
+        ]
+        for q in ("rihgt", "thinck", "yuo")
+    ]
+
+    path = str(tmp_path / "model.npz")
+    model.save(path)
+    restored = VariantModel.load(path)
+    got = [
+        [
+            (restored.decoder[r.vocab_id].text, r.dist_score, r.freq_score)
+            for r in restored.find_variants(q, params)
+        ]
+        for q in ("rihgt", "thinck", "yuo")
+    ]
+    assert got == want
+    assert restored.ngrams == model.ngrams
+    assert restored.tags == model.tags
+    assert len(restored.context_rules) == len(model.context_rules)
+    assert len(restored.confusables) == len(model.confusables)
+    assert restored.have_freq == model.have_freq
+    # confusable behavior survives the roundtrip
+    r1 = restored.find_variants("huys", params)  # no huis in lexicon: empty ok
+    # search mode works post-restore
+    matches = restored.find_all_matches("you are rihgt", params)
+    assert matches
+
+
+def test_checkpoint_learn_resume(tmp_path):
+    model = _model()
+    model.learn_variants(["rihgt"], get_test_searchparams(), strict=True)
+    path = str(tmp_path / "learned.npz")
+    model.save(path)
+    restored = VariantModel.load(path)
+    # the learned transparent variant + links survive
+    vid = restored.encoder["rihgt"]
+    assert restored.decoder[vid].vocabtype.check(VocabType.TRANSPARENT)
+    assert restored.decoder[vid].variants
+    results = restored.find_variants("rihgt", get_test_searchparams())
+    assert "right" in [restored.decoder[r.vocab_id].text for r in results]
