@@ -825,6 +825,14 @@ class VariantModel:
                 has_expandable = True
             if math.isnan(score):
                 raise ValueError(f"Invalid score (NaN) for variant={item.text}")
+            if self.debug >= 3:
+                print(
+                    f"   (variant={item.text}, distance={distance}, "
+                    f"score={score}, "
+                    f"transparent={item.vocabtype.check(VocabType.TRANSPARENT)}"
+                    f"{'' if score >= score_threshold else ', PRUNED'})",
+                    file=sys.stderr,
+                )
             if score >= score_threshold:
                 results.append(
                     VariantResult(
@@ -1280,6 +1288,11 @@ class VariantModel:
         if len(output_symbols) == 1:
             return matches
 
+        if self.debug >= 3:
+            self._dump_lattice_dot(
+                input_text, arcs, final_states, output_symbols, matches
+            )
+
         # exact n-best DP over the topologically ordered DAG
         nbest = max(1, params.max_seq)
         hyps: List[List[Tuple[float, Tuple[int, ...]]]] = [[] for _ in range(nstates)]
@@ -1372,6 +1385,52 @@ class VariantModel:
                     m.tag = [t for t, _ in tags]
                     m.seqnr = [s for _, s in tags]
             out.append(m)
+        return out
+
+    def _dump_lattice_dot(
+        self, input_text, arcs, final_states, output_symbols, matches
+    ) -> None:
+        """Render the decoding lattice to Graphviz, mirroring the reference's
+        FST drawing at debug>=3 (lib.rs:2296-2312)."""
+        safe = "".join(
+            c if c.isalnum() else "_" for c in input_text.replace(" ", "_")
+        )[:60]
+        path = f"/tmp/analiticcl.{safe}.lattice.dot"
+        try:
+            with open(path, "w", encoding="utf-8") as f:
+                f.write(f'digraph lattice {{\n  label="{input_text}";\n')
+                for state, out in enumerate(arcs):
+                    shape = (
+                        "doublecircle" if state in final_states else "circle"
+                    )
+                    f.write(f'  s{state} [shape={shape}];\n')
+                    for target, cost, symbol in out:
+                        if symbol is None:
+                            label = f"<eps>/{cost}"
+                        else:
+                            osym = output_symbols[symbol]
+                            if osym.vocab_id:
+                                text = self.decoder[osym.vocab_id].text
+                            else:
+                                text = matches[osym.match_index].text + " (OOV)"
+                            label = f"{text}/{cost:.3f}"
+                        f.write(
+                            f'  s{state} -> s{target} [label="{label}"];\n'
+                        )
+                f.write("}\n")
+            print(f"(lattice rendered to {path})", file=sys.stderr)
+        except OSError:
+            pass
+
+    def decompose_anavalue(self, av: int) -> List[str]:
+        """Decompose an anagram value into its characters (lib.rs:345-360)."""
+        from ..anahash import anavalue_to_counts
+
+        counts = anavalue_to_counts(av, self.alphabet_size())
+        out: List[str] = []
+        for idx in np.nonzero(counts)[0]:
+            if idx < len(self.alphabet):
+                out.extend([self.alphabet[idx][0]] * int(counts[idx]))
         return out
 
     # ------------------------------------------------------------------

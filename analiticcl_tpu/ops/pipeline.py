@@ -298,6 +298,9 @@ class DevicePipeline:
         # sticky budgets: start small, escalate on overflow, remember
         self._P = P_BUCKETS[0]
         self._P2 = P2_BUCKETS[0]
+        from ..utils.profiling import StageTimer
+
+        self.stats = StageTimer()
 
     # ------------------------------------------------------------------
 
@@ -317,6 +320,8 @@ class DevicePipeline:
         n = len(inputs)
         results: List[Optional[List[VariantResult]]] = [None] * n
 
+        prep_cm = self.stats.stage("host_prep")
+        prep_cm.__enter__()
         active: List[int] = []
         norms: List[List[int]] = []
         for i, text in enumerate(inputs):
@@ -382,8 +387,11 @@ class DevicePipeline:
         # DL exactness window: the smallest static bucket covering every
         # per-query max edit distance in the batch
         window = _bucket(int(k_ed.max(initial=0)), WINDOW_BUCKETS)
+        prep_cm.__exit__(None, None, None)
 
         # fused call with sticky budgets; re-run on overflow
+        dev_cm = self.stats.stage("device")
+        dev_cm.__enter__()
         while True:
             (
                 o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case,
@@ -406,6 +414,10 @@ class DevicePipeline:
                     )
                 break
 
+        dev_cm.__exit__(None, None, None)
+
+        tail_cm = self.stats.stage("host_tail")
+        tail_cm.__enter__()
         vocab_ids = self.model.index.vocab_ids
         # survivors arrive sorted by (query, canonical candidate): sort (a
         # no-op for the single-device path, a shard merge for the mesh path)
@@ -444,6 +456,16 @@ class DevicePipeline:
                 params.freq_weight,
                 max_freq_floor=max_freq_floor,
             )
+        tail_cm.__exit__(None, None, None)
+        if model.debug >= 2:
+            print(
+                f"(batch of {len(active)}: {total_match} candidates, "
+                f"{total_keep} kept; P={self._P}, P2={self._P2}, "
+                f"window={window})",
+                file=sys.stderr,
+            )
+            self.stats.report()
+            self.stats.clear()
         return [r if r is not None else [] for r in results]
 
 

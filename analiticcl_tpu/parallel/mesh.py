@@ -93,6 +93,9 @@ class ShardedPipeline(DevicePipeline):
         self._P = pl.P_BUCKETS[0]
         self._P2 = pl.P2_BUCKETS[0]
         self._sharded_cache = {}
+        from ..utils.profiling import StageTimer
+
+        self.stats = StageTimer()
 
     # ------------------------------------------------------------------
 
