@@ -93,6 +93,22 @@ def _bucket(value: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+from ..types import MAX_ANAGRAM_DISTANCE as _MAX_ANAGRAM_DISTANCE
+from ..types import MAX_EDIT_DISTANCE as _MAX_EDIT_DISTANCE
+from ..types import ThresholdKind as _ThresholdKind
+
+
+def _resolve_thresholds(threshold, lens: np.ndarray, cap: int) -> np.ndarray:
+    """Vectorized DistanceThreshold.resolve (lib.rs:982-1012 semantics)."""
+    if threshold.kind is _ThresholdKind.RATIO:
+        return np.minimum((lens * threshold.ratio).astype(np.int32), cap)
+    if threshold.kind is _ThresholdKind.RATIO_WITH_LIMIT:
+        return np.minimum(
+            (lens * threshold.ratio).astype(np.int32), threshold.limit
+        )
+    return np.minimum(threshold.limit, lens // 2).astype(np.int32)
+
+
 def _compact(flat_mask, payload_arrays, P: int, fill_values):
     """Stable compaction: gather payloads of set mask positions into P slots.
 
@@ -155,12 +171,26 @@ def _query_core(
 
     flat_mask = mask.reshape(-1)
     sentinel = jnp.int32(B * Ni_pad)
-    # identity payload: the searchsorted result IS the compacted flat index
-    csum = jnp.cumsum(flat_mask.astype(jnp.int32))
-    slot = jnp.searchsorted(
-        csum, jnp.arange(1, P + 1, dtype=jnp.int32), side="left"
+    # hierarchical compaction: a full-length cumsum over B*Ni elements costs
+    # hundreds of MB of multi-pass traffic; instead reduce 128-wide blocks
+    # (single pass), cumsum the tiny block-count vector, locate each output
+    # slot's block by binary search, and rank within the gathered block row
+    BLK = 128
+    M = (B * Ni_pad) // BLK
+    blocks = flat_mask.reshape(M, BLK)
+    bp = jnp.cumsum(blocks.sum(axis=1, dtype=jnp.int32))  # [M] inclusive
+    targets = jnp.arange(1, P + 1, dtype=jnp.int32)
+    blk_of = jnp.searchsorted(bp, targets, side="left")
+    pvalid_slot = blk_of < M
+    blk_safe = jnp.minimum(blk_of, M - 1)
+    prev = jnp.where(blk_safe > 0, bp[jnp.maximum(blk_safe - 1, 0)], 0)
+    rank = targets - prev  # 1-based rank within the block
+    rows = blocks[blk_safe].astype(jnp.int32)  # [P, BLK]
+    within = jnp.cumsum(rows, axis=1)
+    pos = jnp.sum(within < rank[:, None], axis=1).astype(jnp.int32)
+    pair_flat = jnp.where(pvalid_slot, blk_safe * BLK + pos, sentinel).astype(
+        jnp.int32
     )
-    pair_flat = jnp.where(slot < B * Ni_pad, slot, sentinel).astype(jnp.int32)
 
     # ---------------- Stage B: scoring ----------------
     pvalid = pair_flat < sentinel
@@ -296,8 +326,14 @@ class DevicePipeline:
             jnp.asarray(first_lower),
         )
         # sticky budgets: start small, escalate on overflow, remember
-        self._P = P_BUCKETS[0]
-        self._P2 = P2_BUCKETS[0]
+        # initial sticky pair budget: on real TPUs start at a size-based
+        # estimate so typical workloads compile one fused variant instead of
+        # escalating through every bucket (remote compiles run minutes)
+        if _use_pallas():
+            self._P = _bucket(max(P_BUCKETS[0], self.Ni // 2), P_BUCKETS)
+        else:
+            self._P = P_BUCKETS[0]
+        self._P2 = P2_BUCKETS[1] if _use_pallas() else P2_BUCKETS[0]
         from ..utils.profiling import StageTimer
 
         self.stats = StageTimer()
@@ -322,38 +358,45 @@ class DevicePipeline:
 
         prep_cm = self.stats.stage("host_prep")
         prep_cm.__enter__()
+        A, T, L = self.A, self.T, self.L
+        # batch-normalize every query in one native pass
+        all_norms, all_lens = enc.normalize_batch_padded(list(inputs), L)
         active: List[int] = []
-        norms: List[List[int]] = []
         for i, text in enumerate(inputs):
-            norm = enc.normalize(text)
-            if not norm:
+            ln = int(all_lens[i])
+            if ln == 0:
                 results[i] = []
-            elif len(norm) > self.L:
+            elif ln > self.L:
                 results[i] = model._find_variants_oracle(text, params)
             else:
                 active.append(i)
-                norms.append(norm)
         if not active:
+            prep_cm.__exit__(None, None, None)
             return [r if r is not None else [] for r in results]
 
         B = _bucket(len(active), B_BUCKETS)
-        A, T, L = self.A, self.T, self.L
-        q_counts = np.zeros((B, A), dtype=np.int32)
+        act = np.asarray(active)
         q_norms = np.zeros((B, L), dtype=np.int32)
+        q_norms[: len(active)] = all_norms[act]
         q_lens = np.zeros(B, dtype=np.int32)
+        q_lens[: len(active)] = all_lens[act]
+        q_counts = np.zeros((B, A), dtype=np.int32)
+        q_counts[: len(active)] = enc.counts_from_norms(
+            all_norms[act], all_lens[act]
+        )
         q_first_lower = np.zeros(B, dtype=bool)
+        q_first_lower[: len(active)] = [
+            inputs[i][:1].islower() if inputs[i] else False for i in active
+        ]
         k_ana = np.full(B, -1, dtype=np.int32)  # padding rows match nothing
+        k_ana[: len(active)] = _resolve_thresholds(
+            params.max_anagram_distance, q_lens[: len(active)],
+            _MAX_ANAGRAM_DISTANCE,
+        )
         k_ed = np.zeros(B, dtype=np.int32)
-        for row, i in enumerate(active):
-            text = inputs[i]
-            q_counts[row] = enc.count_vector(text).astype(np.int32)
-            nm = norms[row]
-            q_norms[row, : len(nm)] = nm
-            q_lens[row] = len(nm)
-            q_first_lower[row] = text[:1].islower() if text else False
-            ka, ke = model._resolve_distances(len(nm), params)
-            k_ana[row] = ka
-            k_ed[row] = ke
+        k_ed[: len(active)] = _resolve_thresholds(
+            params.max_edit_distance, q_lens[: len(active)], _MAX_EDIT_DISTANCE
+        )
 
         t_levels = np.arange(T, dtype=np.int32)[None, None, :]
         qbin = (
