@@ -104,11 +104,14 @@ def _dl_kernel(a_ref, b_ref, al_ref, bl_ref, ld_ref, lcs_ref, *, L: int, W: int)
 
                 last = lastcol[j - 1]
                 transp = big_vec * 4
-                for d in range(1, W + 2):
+                # the transposition penalty is v + d + s - 1 (v >= 0), so any
+                # (d, s) with d + s > window + 1 exceeds the don't-care cutoff
+                # and can be skipped: W(W+1)/2-ish terms instead of (W+1)^2
+                for d in range(1, W + 1):
                     if i - d < 0:
                         continue  # slot would alias a future row; value is big
                     sel_row = last == (i - d)
-                    for s in range(1, min(W + 1, j - 1) + 1):
+                    for s in range(1, min(W + 1 - d, j - 1) + 1):
                         # mat[i-d][j-s] at ring[(i-d) % R] position j-s-1
                         v = ring[(i - d) % R, j - s - 1]
                         term = v + (d - 1) + 1 + (s - 1)

@@ -129,6 +129,100 @@ def _compact(flat_mask, payload_arrays, P: int, fill_values):
     return outs
 
 
+def _rank_fast(
+    model,
+    vocab_ids: np.ndarray,
+    cand_rows: np.ndarray,
+    dist_scores: np.ndarray,  # f64, pre-threshold
+    freqs: np.ndarray,  # f64 absolute frequencies (or ones)
+    params: SearchParameters,
+    max_freq_floor: float,
+) -> List[VariantResult]:
+    """Vectorized ranking tail for the common case (no confusables, no
+    expandable variants). Bit-equal to VariantModel.score_and_rank — same
+    float64 formulas, stable orders, tie-aware crop quirks, cutoff — just
+    numpy instead of Python objects."""
+    keep = dist_scores >= params.score_threshold
+    if not keep.all():
+        cand_rows = cand_rows[keep]
+        dist_scores = dist_scores[keep]
+        freqs = freqs[keep]
+    n = len(cand_rows)
+    if n == 0:
+        return []
+    if model.have_freq:
+        max_freq = max(float(freqs.max()), max_freq_floor)
+    else:
+        max_freq = max(1.0, max_freq_floor)
+    freqn = freqs / max_freq if max_freq > 0.0 else freqs
+
+    fw = params.freq_weight
+    if fw > 0.0:
+        blended = (dist_scores + fw * freqn) / (1.0 + fw)
+        order = np.argsort(-blended, kind="stable")
+    else:
+        # lexsort: last key primary; stable, so full ties keep canonical order
+        order = np.lexsort((-freqn, -dist_scores))
+    cand_rows = cand_rows[order]
+    dist_scores = dist_scores[order]
+    freqn = freqn[order]
+    s = (
+        (dist_scores + fw * freqn) / (1.0 + fw) if fw > 0.0 else dist_scores
+    )
+
+    # tie-aware crop at max_matches (lib.rs:1536-1589, incl. the early_cutoff
+    # quirk where index 0 doesn't latch)
+    mm = params.max_matches
+    if 0 < mm < n:
+        last_score = s[mm - 1]
+        cropped_sc = s[mm]
+        if cropped_sc < last_score:
+            end = mm
+        else:
+            lt = dist_scores < cropped_sc
+            first_lt = int(np.argmax(lt)) if lt.any() else None
+            limit = first_lt if first_lt is not None else n
+            eq_idx = np.nonzero(dist_scores[:limit] == cropped_sc)[0]
+            if len(eq_idx) and eq_idx[0] != 0:
+                early = int(eq_idx[0])
+            elif len(eq_idx) > 1:
+                early = int(eq_idx[1])
+            else:
+                early = 0
+            late = first_lt if first_lt is not None else 0
+            if early > 0:
+                end = early + 1
+            elif late > 0:
+                end = late + 1
+            else:
+                end = n
+        cand_rows = cand_rows[:end]
+        dist_scores = dist_scores[:end]
+        freqn = freqn[:end]
+        s = s[:end]
+        n = end
+
+    # cutoff threshold (lib.rs:1597-1622)
+    if params.cutoff_threshold >= 1.0 and n > 1:
+        below = s[1:] <= s[0] / params.cutoff_threshold
+        if below.any():
+            cutoff = int(np.argmax(below)) + 1
+            cand_rows = cand_rows[:cutoff]
+            dist_scores = dist_scores[:cutoff]
+            freqn = freqn[:cutoff]
+            n = cutoff
+
+    return [
+        VariantResult(
+            vocab_id=int(vocab_ids[cand_rows[i]]),
+            dist_score=float(dist_scores[i]),
+            freq_score=float(freqn[i]),
+            via=None,
+        )
+        for i in range(n)
+    ]
+
+
 def _query_core(
     bins,  # int8 [Ni_pad, A*T]
     cc,  # int32 [Ni_pad]
@@ -334,6 +428,14 @@ class DevicePipeline:
         else:
             self._P = P_BUCKETS[0]
         self._P2 = P2_BUCKETS[1] if _use_pallas() else P2_BUCKETS[0]
+        # rows whose vocab entries carry variant links need the exact object
+        # ranking tail (expansion); everything else takes the fast numpy tail
+        decoder = model.decoder
+        self._has_variants = np.fromiter(
+            (decoder[int(v)].variants is not None for v in index.vocab_ids),
+            dtype=bool,
+            count=index.size,
+        )
         from ..utils.profiling import StageTimer
 
         self.stats = StageTimer()
@@ -461,7 +563,8 @@ class DevicePipeline:
 
         tail_cm = self.stats.stage("host_tail")
         tail_cm.__enter__()
-        vocab_ids = self.model.index.vocab_ids
+        index = self.model.index
+        vocab_ids = index.vocab_ids
         # survivors arrive sorted by (query, canonical candidate): sort (a
         # no-op for the single-device path, a shard merge for the mesh path)
         # and split by query with a binary search
@@ -471,34 +574,66 @@ class DevicePipeline:
         )
         bounds = np.searchsorted(o_q, np.arange(B + 1))
 
+        # vectorized float64 scoring over all surviving pairs at once
+        # (exact: integer metrics, same formula as score_and_rank)
+        w = model.weights
+        qlen_all = q_lens[np.minimum(o_q, B - 1)].astype(np.float64)
+        qlen_all = np.maximum(qlen_all, 1.0)
+        ld_f = o_ld.astype(np.float64)
+        ds_all = np.where(ld_f > qlen_all, 0.0, 1.0 - ld_f / qlen_all)
+        score_all = (
+            w.ld * ds_all
+            + w.lcs * o_lcs / qlen_all
+            + w.prefix * o_pf / qlen_all
+            + w.suffix * o_sf / qlen_all
+            + np.where(o_case.astype(bool), w.case, 0.0)
+        ) / w.sum()
+        oc_safe = np.minimum(o_c, index.size - 1)
+        freq_all = (
+            index.freqs[oc_safe] if model.have_freq else np.ones(len(o_c))
+        )
+        expandable_all = self._has_variants[oc_safe]
+
+        fast_ok = not model.confusables and getattr(model, "fast_tail", True)
         for row, i in enumerate(active):
-            entries = range(int(bounds[row]), int(bounds[row + 1]))
-            instances: List[Tuple[int, Distance]] = [
-                (
-                    int(vocab_ids[o_c[p]]),
-                    Distance(
-                        ld=int(o_ld[p]),
-                        lcs=int(o_lcs[p]),
-                        prefixlen=int(o_pf[p]),
-                        suffixlen=int(o_sf[p]),
-                        samecase=bool(o_case[p]),
-                    ),
-                )
-                for p in entries
-            ]
+            lo, hi = int(bounds[row]), int(bounds[row + 1])
             max_freq_floor = (
-                float(max_freq[row]) if int(n_keep[row]) > len(entries) else 0.0
+                float(max_freq[row]) if int(n_keep[row]) > hi - lo else 0.0
             )
-            results[i] = model.score_and_rank(
-                instances,
-                inputs[i],
-                int(q_lens[row]),
-                params.max_matches,
-                params.score_threshold,
-                params.cutoff_threshold,
-                params.freq_weight,
-                max_freq_floor=max_freq_floor,
-            )
+            if fast_ok and not expandable_all[lo:hi].any():
+                results[i] = _rank_fast(
+                    model,
+                    vocab_ids,
+                    o_c[lo:hi],
+                    score_all[lo:hi],
+                    freq_all[lo:hi],
+                    params,
+                    max_freq_floor,
+                )
+            else:
+                instances: List[Tuple[int, Distance]] = [
+                    (
+                        int(vocab_ids[o_c[p]]),
+                        Distance(
+                            ld=int(o_ld[p]),
+                            lcs=int(o_lcs[p]),
+                            prefixlen=int(o_pf[p]),
+                            suffixlen=int(o_sf[p]),
+                            samecase=bool(o_case[p]),
+                        ),
+                    )
+                    for p in range(lo, hi)
+                ]
+                results[i] = model.score_and_rank(
+                    instances,
+                    inputs[i],
+                    int(q_lens[row]),
+                    params.max_matches,
+                    params.score_threshold,
+                    params.cutoff_threshold,
+                    params.freq_weight,
+                    max_freq_floor=max_freq_floor,
+                )
         tail_cm.__exit__(None, None, None)
         if model.debug >= 2:
             print(

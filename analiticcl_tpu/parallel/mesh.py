@@ -93,6 +93,12 @@ class ShardedPipeline(DevicePipeline):
         self._P = pl.P_BUCKETS[0]
         self._P2 = pl.P2_BUCKETS[0]
         self._sharded_cache = {}
+        decoder = model.decoder
+        self._has_variants = np.fromiter(
+            (decoder[int(v)].variants is not None for v in index.vocab_ids),
+            dtype=bool,
+            count=index.size,
+        )
         from ..utils.profiling import StageTimer
 
         self.stats = StageTimer()

@@ -157,3 +157,67 @@ def test_device_stop_at_exact(eng_model):
     eng_model.set_backend("device")
     got = eng_model.find_variants_batch(["there"], params)[0]
     assert _result_tuples(eng_model, got) == _result_tuples(eng_model, want)
+
+
+def test_fast_tail_matches_object_tail(eng_model):
+    """The vectorized numpy ranking tail must be bit-equal to score_and_rank."""
+    params = SearchParameters(
+        max_anagram_distance=DistanceThreshold.absolute(3),
+        max_edit_distance=DistanceThreshold.absolute(2),
+        max_matches=10,
+        score_threshold=0.25,
+    )
+    eng_model.set_backend("device")
+    eng_model.fast_tail = False
+    want = eng_model.find_variants_batch(QUERIES, params)
+    eng_model.fast_tail = True
+    got = eng_model.find_variants_batch(QUERIES, params)
+    for q, w, g in zip(QUERIES, want, got):
+        assert _result_tuples(eng_model, g) == _result_tuples(eng_model, w), q
+
+
+def test_fast_tail_matches_object_tail_freq(eng_model):
+    params = SearchParameters(
+        max_anagram_distance=DistanceThreshold.absolute(3),
+        max_edit_distance=DistanceThreshold.absolute(3),
+        max_matches=10,
+        score_threshold=0.5,
+        freq_weight=1.0,
+    )
+    eng_model.set_backend("device")
+    eng_model.fast_tail = False
+    want = eng_model.find_variants_batch(QUERIES, params)
+    eng_model.fast_tail = True
+    got = eng_model.find_variants_batch(QUERIES, params)
+    for q, w, g in zip(QUERIES, want, got):
+        assert _result_tuples(eng_model, g) == _result_tuples(eng_model, w), q
+
+
+def test_device_oracle_parity_random_sweep(eng_model):
+    """200 random corrupted queries: device (fast tail) vs oracle, bit-equal."""
+    random.seed(99)
+    words = [eng_model.decoder[i].text for i in range(3, len(eng_model.decoder), 29)]
+
+    def corrupt(w):
+        if len(w) < 4:
+            return w
+        i = random.randrange(len(w) - 1)
+        return random.choice(
+            [w[:i] + w[i + 1:], w[:i] + w[i + 1] + w[i] + w[i + 2:],
+             w[:i] + "x" + w[i:], w[:i] + "q" + w[i + 1:]]
+        )
+
+    queries = [corrupt(w) for w in words[:200]]
+    params = SearchParameters(
+        max_anagram_distance=DistanceThreshold.absolute(3),
+        max_edit_distance=DistanceThreshold.absolute(2),
+        max_matches=10,
+        score_threshold=0.25,
+    )
+    eng_model.set_backend("oracle")
+    want = [eng_model.find_variants(q, params) for q in queries]
+    eng_model.set_backend("device")
+    eng_model.fast_tail = True
+    got = eng_model.find_variants_batch(queries, params)
+    for q, w, g in zip(queries, want, got):
+        assert _result_tuples(eng_model, g) == _result_tuples(eng_model, w), q
