@@ -1293,27 +1293,59 @@ class VariantModel:
                 input_text, arcs, final_states, output_symbols, matches
             )
 
-        # exact n-best DP over the topologically ordered DAG
-        nbest = max(1, params.max_seq)
-        hyps: List[List[Tuple[float, Tuple[int, ...]]]] = [[] for _ in range(nstates)]
-        hyps[0] = [(0.0, ())]
-        for state in range(nstates):
-            if not hyps[state]:
-                continue
-            for target, cost, symbol in arcs[state]:
-                extended = [
-                    (c + cost, syms + (symbol,) if symbol is not None else syms)
-                    for c, syms in hyps[state]
-                ]
-                merged = hyps[target] + extended
-                merged.sort(key=lambda x: x[0])
-                hyps[target] = merged[:nbest]
+        # exact n-best DP over the topologically ordered DAG.
+        # When neither the LM nor context rules participate, the final
+        # selection reduces to argmin path cost (the normalized variant score
+        # is monotone in cost, lib.rs:2399-2403), so n-best collapses to 1.
+        use_lm = self.have_lm and params.lm_weight > 0
+        use_rules = bool(self.context_rules) and params.contextrules_weight > 0
+        nbest = max(1, params.max_seq) if (use_lm or use_rules) else 1
 
-        collected: List[Tuple[float, Tuple[int, ...]]] = []
+        import heapq
+
+        in_arcs: List[List[Tuple[int, float, Optional[int]]]] = [
+            [] for _ in range(nstates)
+        ]
+        for state in range(nstates):
+            for target, cost, symbol in arcs[state]:
+                in_arcs[target].append((state, cost, symbol))
+
+        # hypothesis = (cost, serial, source_state, hyp_index_in_source, symbol)
+        hyps: List[List[Tuple[float, int, int, int, Optional[int]]]] = [
+            [] for _ in range(nstates)
+        ]
+        hyps[0] = [(0.0, 0, -1, -1, None)]
+        serial = 1  # tie-break keeps heapq comparisons off the payload
+        for state in range(1, nstates):
+            exts = []
+            for src, cost, symbol in in_arcs[state]:
+                for hidx, h in enumerate(hyps[src]):
+                    exts.append((h[0] + cost, serial, src, hidx, symbol))
+                    serial += 1
+            if exts:
+                hyps[state] = heapq.nsmallest(nbest, exts)
+
+        collected_refs: List[Tuple[float, int, int, int]] = []
         for state in final_states:
-            collected.extend(hyps[state])
-        collected.sort(key=lambda x: x[0])
-        collected = collected[:nbest]
+            for hidx, h in enumerate(hyps[state]):
+                collected_refs.append((h[0], h[1], state, hidx))
+        collected_refs.sort(key=lambda x: (x[0], x[1]))
+        collected_refs = collected_refs[:nbest]
+
+        def reconstruct(state: int, hidx: int) -> Tuple[int, ...]:
+            syms: List[int] = []
+            while state >= 0:
+                cost, _, src, shidx, symbol = hyps[state][hidx]
+                if symbol is not None:
+                    syms.append(symbol)
+                state, hidx = src, shidx
+            syms.reverse()
+            return tuple(syms)
+
+        collected = [
+            (cost, reconstruct(state, hidx))
+            for cost, _, state, hidx in collected_refs
+        ]
 
         sequences: List[SequenceHyp] = []
         best_lm_perplexity = 999999.0

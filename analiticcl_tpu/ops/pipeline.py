@@ -453,6 +453,15 @@ class DevicePipeline:
     def find_variants_batch(
         self, inputs: Sequence[str], params: SearchParameters
     ) -> List[List[VariantResult]]:
+        if len(inputs) > B_BUCKETS[-1]:
+            out: List[List[VariantResult]] = []
+            for start in range(0, len(inputs), B_BUCKETS[-1]):
+                out.extend(
+                    self.find_variants_batch(
+                        inputs[start : start + B_BUCKETS[-1]], params
+                    )
+                )
+            return out
         model = self.model
         enc = model.enc
         n = len(inputs)

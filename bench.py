@@ -72,6 +72,21 @@ def main():
     words = [model.decoder[i].text for i in range(3, len(model.decoder), 7)]
     queries = [corrupt(w, rng) for w in words[:16384]]
 
+    # recall@10 sanity: device results vs the exact host oracle on a sample
+    sample = queries[:: len(queries) // 200][:200]
+    model.set_backend("oracle")
+    oracle_res = [
+        {model.decoder[r.vocab_id].text for r in model.find_variants(q, params)}
+        for q in sample
+    ]
+    model.set_backend("device")
+    device_res = [
+        {model.decoder[r.vocab_id].text for r in res}
+        for res in model.find_variants_batch(sample, params)
+    ]
+    hit = sum(1 for o, d in zip(oracle_res, device_res) if o == d)
+    log(f"recall sanity: {hit}/{len(sample)} sampled queries identical to oracle")
+
     B = 1024
     t0 = time.time()
     model.find_variants_batch(queries[:B], params)

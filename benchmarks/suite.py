@@ -1,0 +1,220 @@
+"""Scenario benchmark suite, mirroring BASELINE.json's configs.
+
+Each scenario prints one JSON line to stdout. Run:
+
+    python benchmarks/suite.py [scenario ...]
+
+Scenarios: query_eng, query_nld_freq, search_text, learn, build_1m
+(default: all except build_1m).
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from analiticcl_tpu.models.variant_model import VariantModel
+from analiticcl_tpu.types import DistanceThreshold, SearchParameters
+from analiticcl_tpu.vocab import VocabParams, VocabType
+
+ALPHABET = "/root/reference/examples/simple.alphabet.tsv"
+ENG = "/root/reference/examples/eng.aspell.lexicon"
+NLD = "/root/reference/examples/nld.aspell.lexicon"
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def corrupt(word, rng):
+    if len(word) < 4:
+        return word
+    i = rng.randrange(len(word) - 1)
+    c = rng.randrange(4)
+    if c == 0:
+        return word[:i] + word[i + 1 :]
+    if c == 1:
+        return word[:i] + word[i + 1] + word[i] + word[i + 2 :]
+    if c == 2:
+        return word[:i] + "x" + word[i:]
+    return word[:i] + "q" + word[i + 1 :]
+
+
+def _model(lexicon):
+    model = VariantModel(alphabet_file=ALPHABET)
+    model.read_vocabulary(lexicon, VocabParams())
+    t0 = time.time()
+    model.build()
+    build_s = time.time() - t0
+    model.set_backend("device")
+    return model, build_s
+
+
+def _throughput(model, queries, params, budget_s=30.0, batch=1024):
+    model.find_variants_batch(queries[:batch], params)  # compile
+    model.find_variants_batch(queries[:batch], params)  # settle budgets
+    t0 = time.time()
+    done = 0
+    while time.time() - t0 < budget_s:
+        chunk = queries[done % len(queries) :][:batch] or queries[:batch]
+        model.find_variants_batch(chunk, params)
+        done += len(chunk)
+        if done >= 16384:
+            break
+    return done / (time.time() - t0)
+
+
+def query_eng():
+    model, build_s = _model(ENG)
+    rng = random.Random(1)
+    words = [model.decoder[i].text for i in range(3, len(model.decoder), 7)]
+    queries = [corrupt(w, rng) for w in words[:16384]]
+    params = SearchParameters(
+        max_anagram_distance=DistanceThreshold.absolute(3),
+        max_edit_distance=DistanceThreshold.absolute(2),
+        max_matches=10,
+    )
+    qps = _throughput(model, queries, params)
+    return {"scenario": "query_eng", "qps": round(qps, 1), "build_s": round(build_s, 2)}
+
+
+def query_nld_freq():
+    model, build_s = _model(NLD)
+    model.have_freq = True  # exercise frequency-weighted ranking
+    rng = random.Random(2)
+    words = [model.decoder[i].text for i in range(3, len(model.decoder), 13)]
+    queries = [corrupt(w, rng) for w in words[:8192]]
+    params = SearchParameters(
+        max_anagram_distance=DistanceThreshold.absolute(3),
+        max_edit_distance=DistanceThreshold.absolute(2),
+        max_matches=10,
+        freq_weight=1.0,
+    )
+    qps = _throughput(model, queries, params)
+    return {
+        "scenario": "query_nld_freq",
+        "qps": round(qps, 1),
+        "build_s": round(build_s, 2),
+    }
+
+
+def search_text():
+    model, build_s = _model(ENG)
+    rng = random.Random(3)
+    words = [model.decoder[i].text for i in range(3, len(model.decoder), 17)]
+    sentences = []
+    for _ in range(64):
+        sent = " ".join(corrupt(rng.choice(words), rng) for _ in range(12))
+        sentences.append(sent + ".")
+    text = "\n".join(sentences)
+    params = SearchParameters(
+        max_anagram_distance=DistanceThreshold.absolute(3),
+        max_edit_distance=DistanceThreshold.absolute(2),
+        max_matches=5,
+        max_ngram=2,
+    )
+    model.find_all_matches(text, params)  # compile all shape variants
+    t0 = time.time()
+    matches = model.find_all_matches(text, params)
+    dt = time.time() - t0
+    tokens = sum(len(s.split()) for s in sentences)
+    return {
+        "scenario": "search_text",
+        "tokens_per_s": round(tokens / dt, 1),
+        "matches": len(matches),
+        "build_s": round(build_s, 2),
+    }
+
+
+def learn():
+    model, build_s = _model(ENG)
+    rng = random.Random(4)
+    words = [model.decoder[i].text for i in range(3, len(model.decoder), 23)]
+    corpus = [corrupt(w, rng) for w in words[:4096]]
+    params = SearchParameters(
+        max_anagram_distance=DistanceThreshold.absolute(3),
+        max_edit_distance=DistanceThreshold.absolute(2),
+        max_matches=3,
+        score_threshold=0.7,
+    )
+    model.find_variants_batch(corpus[:1024], params)  # compile
+    t0 = time.time()
+    count = model.learn_variants(corpus, params, strict=True, auto_build=True)
+    dt = time.time() - t0
+    return {
+        "scenario": "learn",
+        "inputs_per_s": round(len(corpus) / dt, 1),
+        "learned": count,
+        "iteration_s": round(dt, 2),
+    }
+
+
+def build_1m():
+    # synthesize a 1M-entry lexicon from nld
+    import os
+
+    path = "/tmp/bench_1m.tsv"
+    if not os.path.exists(path):
+        rng = random.Random(5)
+        base = [
+            l.split("\t")[0]
+            for l in open(NLD, encoding="utf-8").read().splitlines()
+            if l
+        ]
+        words = set()
+        while len(words) < 1_000_000:
+            w = rng.choice(base)
+            i = rng.randrange(len(w)) if len(w) > 2 else 0
+            words.add(w[:i] + rng.choice("abcdefghijklmnopqrstuvwxyz") + w[i:])
+        with open(path, "w", encoding="utf-8") as f:
+            f.write("\n".join(words))
+    model = VariantModel(alphabet_file=ALPHABET)
+    t0 = time.time()
+    model.read_vocabulary(path, VocabParams())
+    load_s = time.time() - t0
+    t0 = time.time()
+    model.build()
+    build_s = time.time() - t0
+    model.set_backend("device")
+    rng = random.Random(6)
+    words = [model.decoder[i].text for i in range(3, len(model.decoder), 211)]
+    queries = [corrupt(w, rng) for w in words[:4096]]
+    params = SearchParameters(
+        max_anagram_distance=DistanceThreshold.absolute(3),
+        max_edit_distance=DistanceThreshold.absolute(2),
+        max_matches=10,
+    )
+    qps = _throughput(model, queries, params, budget_s=40.0)
+    return {
+        "scenario": "build_1m",
+        "load_s": round(load_s, 2),
+        "build_s": round(build_s, 2),
+        "qps": round(qps, 1),
+    }
+
+
+SCENARIOS = {
+    "query_eng": query_eng,
+    "query_nld_freq": query_nld_freq,
+    "search_text": search_text,
+    "learn": learn,
+    "build_1m": build_1m,
+}
+
+
+def main():
+    names = sys.argv[1:] or ["query_eng", "query_nld_freq", "search_text", "learn"]
+    for name in names:
+        log(f"=== {name} ===")
+        t0 = time.time()
+        result = SCENARIOS[name]()
+        log(f"({name} took {time.time() - t0:.1f}s total)")
+        print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()
