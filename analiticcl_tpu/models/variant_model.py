@@ -1544,3 +1544,42 @@ class VariantModel:
 
     def ngram_to_str(self, ngram: Tuple[VocabId, ...]) -> str:
         return " ".join(self.decoder[v].text for v in ngram)
+
+    def match_to_ngram(
+        self, m: Match, boundaries: Sequence[Match]
+    ) -> Tuple[VocabId, ...]:
+        """Convert a match to an ngram of known vocab ids (lib.rs:2794-2813).
+        Raises KeyError on out-of-vocabulary tokens."""
+        from ..search import find_match_ngrams
+
+        internal = m.internal_boundaries(boundaries)
+        parts = find_match_ngrams(m.text, internal, 1, 0, None)
+        ngram: List[VocabId] = []
+        for part in parts:
+            if part.text in self.encoder:
+                ngram.append(self.encoder[part.text])
+            else:
+                raise KeyError(
+                    "unable to convert match to ngram, contains "
+                    f"out-of-vocabulary token: {part.text}"
+                )
+        return tuple(ngram)
+
+    def add_to_reverse_index(
+        self,
+        reverseindex: Dict[VocabId, List[Tuple[object, float]]],
+        input_text: str,
+        matched_vocab_id: VocabId,
+        score: float,
+    ) -> None:
+        """Reverse-index helper (lib.rs:1759-1787): lexicon item -> observed
+        variants, exact matches skipped. Variant is a VocabId when known,
+        else the raw string."""
+        known = self.encoder.get(input_text)
+        if known is not None:
+            if known == matched_vocab_id:
+                return  # exact match
+            variant: object = known
+        else:
+            variant = input_text
+        reverseindex.setdefault(matched_vocab_id, []).append((variant, score))
