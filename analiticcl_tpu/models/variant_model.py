@@ -89,6 +89,20 @@ class BuiltIndex:
     group_anavalues: Optional[List[int]]  # bigints, computed lazily
     group_ranges: List[Tuple[int, int]]
 
+    def norms_reversed(self) -> np.ndarray:
+        """Left-aligned reversed norms (for gather-free suffix metrics)."""
+        if getattr(self, "_norms_rev", None) is None:
+            L = self.norms.shape[1]
+            pos = np.arange(L, dtype=np.int32)[None, :]
+            idx = self.norm_lens[:, None] - 1 - pos
+            valid = idx >= 0
+            self._norms_rev = np.where(
+                valid,
+                np.take_along_axis(self.norms, np.maximum(idx, 0), axis=1),
+                0,
+            ).astype(np.int32)
+        return self._norms_rev
+
     def lookup(self) -> Dict[bytes, Tuple[int, int]]:
         if self.group_lookup is None:
             self.group_lookup = {

@@ -165,6 +165,28 @@ def dl_metrics_batch(
     return ld, lcs_best, prefix, suffix
 
 
+def affix_metrics_aligned(a, a_len, b, b_len, a_rev, b_rev):
+    """Prefix/suffix lengths from pre-aligned arrays — no gathers.
+
+    ``a_rev``/``b_rev`` are the sequences reversed and left-aligned (computed
+    once per index build / per query batch), so the suffix is just the prefix
+    of the reversed pair."""
+
+    def first_mismatch_len(x, y, minlen):
+        L = x.shape[1]
+        big = 2 * L + 8
+        pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+        window = pos < minlen[:, None]
+        mism = (x != y) & window
+        first = jnp.min(jnp.where(mism, pos, big), axis=1)
+        return jnp.where(first == big, minlen, first)
+
+    minlen = jnp.minimum(a_len, b_len)
+    prefix = first_mismatch_len(a, b, minlen)
+    suffix = first_mismatch_len(a_rev, b_rev, minlen)
+    return prefix, suffix
+
+
 def affix_metrics(a, a_len, b, b_len):
     """Common prefix/suffix lengths as dense vector ops (distance.rs:208-231).
 

@@ -64,7 +64,7 @@ if jax.config.jax_compilation_cache_dir is None:
         _os.path.expanduser("~/.cache/jax_analiticcl"),
     )
 
-from .dl_jax import PAD_A, PAD_B, affix_metrics, dl_metrics_windowed
+from .dl_jax import PAD_A, PAD_B, affix_metrics_aligned, dl_metrics_windowed
 from ..types import Distance, SearchParameters, StopCriterion, VariantResult
 
 
@@ -228,12 +228,14 @@ def _query_core(
     cc,  # int32 [Ni_pad]
     validrows,  # bool [Ni_pad]
     norms,  # int32 [Ni_pad, L]
+    norms_rev,  # int32 [Ni_pad, L] (reversed, left-aligned)
     norm_lens,  # int32 [Ni_pad]
     freqs,  # f32 [Ni_pad]
     first_lower,  # bool [Ni_pad]
     qbin,  # int8 [B, A*T]
     q_cc,  # int32 [B]
     q_norms,  # int32 [B, L]
+    q_norms_rev,  # int32 [B, L]
     q_lens,  # int32 [B]
     q_first_lower,  # bool [B]
     k_ana,  # int32 [B]
@@ -292,6 +294,7 @@ def _query_core(
     pc = jnp.where(pvalid, pair_flat % Ni_pad, 0)
 
     cn = norms[pc]  # [P, L]
+    cnr = norms_rev[pc]
     cl = jnp.where(pvalid, norm_lens[pc], 0)
     cf = freqs[pc]
     cfl = first_lower[pc]
@@ -299,9 +302,12 @@ def _query_core(
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
     pq_safe = jnp.minimum(pq, B - 1)
     qn = q_norms[pq_safe]
+    qnr = q_norms_rev[pq_safe]
     ql = jnp.where(pvalid, q_lens[pq_safe], 0)
     a = jnp.where(pos < ql[:, None], qn, PAD_A)
     b = jnp.where(pos < cl[:, None], cn, PAD_B)
+    a_rev = jnp.where(pos < ql[:, None], qnr, PAD_A)
+    b_rev = jnp.where(pos < cl[:, None], cnr, PAD_B)
 
     if _use_pallas() and P % 1024 == 0:
         # TPU: banded/windowed DP as a Pallas kernel (pairs in lanes);
@@ -309,7 +315,7 @@ def _query_core(
         from .dl_pallas import dl_lcs_pallas
 
         ld, lcs = dl_lcs_pallas(a, ql, b, cl, L, window)
-        pf, sf = affix_metrics(a, ql, b, cl)
+        pf, sf = affix_metrics_aligned(a, ql, b, cl, a_rev, b_rev)
     elif P <= DL_CHUNK:
         ld, lcs, pf, sf = dl_metrics_windowed(a, ql, b, cl, L, window)
     else:
@@ -404,6 +410,10 @@ class DevicePipeline:
             index.norms.astype(np.int32),
             ((0, pad), (0, self.L - index.norms.shape[1])),
         )
+        norms_rev = np.pad(
+            index.norms_reversed(),
+            ((0, pad), (0, self.L - index.norms.shape[1])),
+        )
         norm_lens = np.pad(index.norm_lens, (0, pad))
         freqs = np.pad(index.freqs.astype(np.float32), (0, pad))
         first_lower = np.pad(index.first_lower, (0, pad))
@@ -415,6 +425,7 @@ class DevicePipeline:
             jnp.asarray(cc.astype(np.int32)),
             jnp.asarray(np.arange(Ni_pad) < self.Ni),
             jnp.asarray(norms),
+            jnp.asarray(norms_rev),
             jnp.asarray(norm_lens.astype(np.int32)),
             jnp.asarray(freqs),
             jnp.asarray(first_lower),
@@ -491,6 +502,13 @@ class DevicePipeline:
         q_norms[: len(active)] = all_norms[act]
         q_lens = np.zeros(B, dtype=np.int32)
         q_lens[: len(active)] = all_lens[act]
+        pos_l = np.arange(L, dtype=np.int32)[None, :]
+        rev_idx = q_lens[:, None] - 1 - pos_l
+        q_norms_rev = np.where(
+            rev_idx >= 0,
+            np.take_along_axis(q_norms, np.maximum(rev_idx, 0), axis=1),
+            0,
+        ).astype(np.int32)
         q_counts = np.zeros((B, A), dtype=np.int32)
         q_counts[: len(active)] = enc.counts_from_norms(
             all_norms[act], all_lens[act]
@@ -528,6 +546,7 @@ class DevicePipeline:
             jnp.asarray(qbin),
             jnp.asarray(q_cc),
             jnp.asarray(q_norms),
+            jnp.asarray(q_norms_rev),
             jnp.asarray(q_lens),
             jnp.asarray(q_first_lower),
             jnp.asarray(k_ana),

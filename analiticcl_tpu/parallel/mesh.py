@@ -80,6 +80,10 @@ class ShardedPipeline(DevicePipeline):
             index.norms.astype(np.int32),
             ((0, pad), (0, self.L - index.norms.shape[1])),
         )
+        norms_rev = np.pad(
+            index.norms_reversed(),
+            ((0, pad), (0, self.L - index.norms.shape[1])),
+        )
         norm_lens = np.pad(index.norm_lens, (0, pad)).astype(np.int32)
         freqs = np.pad(index.freqs.astype(np.float32), (0, pad))
         first_lower = np.pad(index.first_lower, (0, pad))
@@ -88,7 +92,10 @@ class ShardedPipeline(DevicePipeline):
         row_sharding = NamedSharding(self.mesh, P("lex"))
         self._idx = tuple(
             jax.device_put(arr, row_sharding)
-            for arr in (bins, cc, validrows, norms, norm_lens, freqs, first_lower)
+            for arr in (
+                bins, cc, validrows, norms, norms_rev, norm_lens, freqs,
+                first_lower,
+            )
         )
         self._P = pl.P_BUCKETS[0]
         self._P2 = pl.P2_BUCKETS[0]
@@ -113,8 +120,8 @@ class ShardedPipeline(DevicePipeline):
         mesh = self.mesh
         Ni_shard = self.Ni_shard
 
-        idx_specs = (P("lex"),) * 7
-        q_specs = (P("dp"),) * 8  # qbin, q_cc, q_norms, q_lens, q_fl, k_ana, k_ed, stop
+        idx_specs = (P("lex"),) * 8
+        q_specs = (P("dp"),) * 9  # qbin, q_cc, q_norms(+rev), q_lens, q_fl, k_ana, k_ed, stop
         rep_specs = (P(), P(), P())  # weights, threshold, have_freq
 
         @partial(
@@ -139,18 +146,19 @@ class ShardedPipeline(DevicePipeline):
             ),
         )
         def step(
-            bins, cc, validrows, norms, norm_lens, freqs, first_lower,
-            qbin, q_cc, q_norms, q_lens, q_first_lower, k_ana, k_ed, stop_exact,
-            weights, score_threshold, have_freq,
+            bins, cc, validrows, norms, norms_rev, norm_lens, freqs, first_lower,
+            qbin, q_cc, q_norms, q_norms_rev, q_lens, q_first_lower, k_ana,
+            k_ed, stop_exact, weights, score_threshold, have_freq,
         ):
             B_local = qbin.shape[0]
             (
                 o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case,
                 n_keep, max_freq, total_match, total_keep,
             ) = _query_core(
-                bins, cc, validrows, norms, norm_lens, freqs, first_lower,
-                qbin, q_cc, q_norms, q_lens, q_first_lower, k_ana, k_ed,
-                stop_exact, weights, score_threshold, have_freq,
+                bins, cc, validrows, norms, norms_rev, norm_lens, freqs,
+                first_lower, qbin, q_cc, q_norms, q_norms_rev, q_lens,
+                q_first_lower, k_ana, k_ed, stop_exact, weights,
+                score_threshold, have_freq,
                 P=P_, P2=P2, window=window,
             )
             dp_i = jax.lax.axis_index("dp")
@@ -175,14 +183,14 @@ class ShardedPipeline(DevicePipeline):
     def _run_fused(self, args, window: int):
         # shard query arrays over dp
         (
-            qbin, q_cc, q_norms, q_lens, q_first_lower, k_ana, k_ed,
-            stop_exact, weights, score_threshold, have_freq,
+            qbin, q_cc, q_norms, q_norms_rev, q_lens, q_first_lower, k_ana,
+            k_ed, stop_exact, weights, score_threshold, have_freq,
         ) = args
         fn = self._sharded_fn(self._P, self._P2, window)
         out = fn(
             *self._idx,
-            qbin, q_cc, q_norms, q_lens, q_first_lower, k_ana, k_ed, stop_exact,
-            weights, score_threshold, have_freq,
+            qbin, q_cc, q_norms, q_norms_rev, q_lens, q_first_lower, k_ana,
+            k_ed, stop_exact, weights, score_threshold, have_freq,
         )
         got = jax.device_get(out)
         (
