@@ -15,7 +15,7 @@ maps to the batched device pipeline.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Dict, List, Optional, Sequence
 
 from .models.variant_model import VariantModel as _EngineModel
 from .types import (
@@ -28,24 +28,29 @@ from .vocab import FrequencyHandling, VocabParams as _VocabParams, VocabType
 
 
 class Weights:
-    """Score-component weights (bindings lib.rs:10-113)."""
+    """Score-component weights (bindings lib.rs:10-113). Attribute access
+    delegates to the engine dataclass."""
 
-    __slots__ = ("_w",)
+    _FIELDS = ("ld", "lcs", "prefix", "suffix", "case")
 
     def __init__(self, **kwargs):
-        self._w = _Weights()
+        object.__setattr__(self, "_w", _Weights())
         for key, value in kwargs.items():
-            if key in ("ld", "lcs", "prefix", "suffix", "case"):
+            if key in self._FIELDS:
                 setattr(self._w, key, float(value))
             else:
                 raise ValueError(f"Unknown keyword argument: {key}")
 
-    for _name in ("ld", "lcs", "prefix", "suffix", "case"):
-        exec(  # noqa: S102 - tiny property factory, mirrors PyO3 getset pairs
-            f"{_name} = property(lambda self: self._w.{_name}, "
-            f"lambda self, v: setattr(self._w, '{_name}', float(v)))"
-        )
-    del _name
+    def __getattr__(self, name):
+        if name in Weights._FIELDS:
+            return getattr(self._w, name)
+        raise AttributeError(name)
+
+    def __setattr__(self, name, value):
+        if name in Weights._FIELDS:
+            setattr(self._w, name, float(value))
+        else:
+            object.__setattr__(self, name, value)
 
     def to_dict(self) -> Dict[str, float]:
         return {
@@ -132,17 +137,24 @@ class SearchParameters:
             StopCriterion.STOP_AT_EXACT_MATCH if value else StopCriterion.EXHAUSTIVE
         )
 
-    for _name in (
+    # plain fields delegate straight to the engine dataclass
+    _PLAIN = (
         "max_matches", "score_threshold", "cutoff_threshold", "max_ngram",
         "max_seq", "single_thread", "context_weight", "freq_weight",
         "lm_weight", "variantmodel_weight", "contextrules_weight",
         "consolidate_matches", "unicodeoffsets",
-    ):
-        exec(
-            f"{_name} = property(lambda self: self._p.{_name}, "
-            f"lambda self, v: setattr(self._p, '{_name}', v))"
-        )
-    del _name
+    )
+
+    def __getattr__(self, name):
+        if name in SearchParameters._PLAIN:
+            return getattr(self._p, name)
+        raise AttributeError(name)
+
+    def __setattr__(self, name, value):
+        if name in SearchParameters._PLAIN:
+            setattr(self._p, name, value)
+        else:
+            super().__setattr__(name, value)
 
     def to_dict(self) -> Dict:
         d = {f: getattr(self, f) for f in self._FIELDS}

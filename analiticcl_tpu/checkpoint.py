@@ -11,7 +11,7 @@ fraction of the build time and learn-mode progress survives restarts.
 from __future__ import annotations
 
 import json
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 
@@ -22,7 +22,7 @@ from .types import (
     VariantReferenceKind,
     Weights,
 )
-from .vocab import FrequencyHandling, VocabType, VocabValue
+from .vocab import VocabType, VocabValue
 
 FORMAT_VERSION = 1
 

@@ -13,7 +13,7 @@ import time
 from typing import IO, List, Optional, Sequence, Tuple
 
 from .models.variant_model import VariantModel
-from .search import Match, Offset
+from .search import Offset
 from .types import (
     DistanceThreshold,
     SearchParameters,

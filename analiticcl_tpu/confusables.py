@@ -7,8 +7,7 @@ pattern with suffix/prefix semantics at the pattern edges).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import List
+from dataclasses import dataclass
 
 from .editscript import EditScript, Instruction, Op, parse_editscript
 

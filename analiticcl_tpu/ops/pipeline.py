@@ -13,8 +13,9 @@ the MXU: expanding counts into per-(char, threshold) binary planes makes
 
 One [B, A*T] x [A*T, N] int8 matmul scores every query against the entire
 lexicon. The boolean hit mask is *compacted* into a flat (query, candidate)
-pair list with a cumsum+scatter, so downstream DP work is proportional to the
-number of real candidates rather than a padded per-query budget.
+pair list (hierarchical: block-count reduce, tiny cumsum, per-slot binary
+search, in-block rank), so downstream DP work is proportional to the number
+of real candidates rather than a padded per-query budget.
 StopAtExactMatch restricts a query's mask to exact anagram hits
 (lib.rs:1158-1174).
 
@@ -65,7 +66,15 @@ if jax.config.jax_compilation_cache_dir is None:
     )
 
 from .dl_jax import PAD_A, PAD_B, affix_metrics_aligned, dl_metrics_windowed
-from ..types import Distance, SearchParameters, StopCriterion, VariantResult
+from ..types import (
+    Distance,
+    MAX_ANAGRAM_DISTANCE as _MAX_ANAGRAM_DISTANCE,
+    MAX_EDIT_DISTANCE as _MAX_EDIT_DISTANCE,
+    SearchParameters,
+    StopCriterion,
+    ThresholdKind as _ThresholdKind,
+    VariantResult,
+)
 
 
 def _use_pallas() -> bool:
@@ -91,11 +100,6 @@ def _bucket(value: int, buckets: Sequence[int]) -> int:
         if value <= b:
             return b
     return buckets[-1]
-
-
-from ..types import MAX_ANAGRAM_DISTANCE as _MAX_ANAGRAM_DISTANCE
-from ..types import MAX_EDIT_DISTANCE as _MAX_EDIT_DISTANCE
-from ..types import ThresholdKind as _ThresholdKind
 
 
 def _resolve_thresholds(threshold, lens: np.ndarray, cap: int) -> np.ndarray:

@@ -20,7 +20,7 @@ single-chip and multi-chip paths cannot drift apart.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 
