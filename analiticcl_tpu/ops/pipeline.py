@@ -257,40 +257,73 @@ def _query_core(
     L = norms.shape[1]
 
     # ---------------- Stage A: retrieval ----------------
-    summin = jax.lax.dot_general(
-        qbin, bins, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
-    )  # [B, Ni_pad]
-    l1 = cc[None, :] + q_cc[:, None] - 2 * summin
-    valid = validrows[None, :]
-    mask = (l1 <= k_ana[:, None]) & valid
-    exact = (l1 == 0) & valid
-    use_exact = stop_exact & exact.any(axis=1)
-    mask = jnp.where(use_exact[:, None], exact, mask)
-    n_match = mask.sum(axis=1)
-    total_match = n_match.sum()
+    # hit/exact masks arrive bit-packed with per-128-block counts, either from
+    # the fused Pallas kernel (TPU) or the XLA fallback — never as a
+    # materialized [B, Ni] distance matrix
+    from .stage_a import ROW_BLOCK, stage_a_masks_pallas, stage_a_masks_xla
 
-    flat_mask = mask.reshape(-1)
+    if _use_pallas() and Ni_pad % ROW_BLOCK == 0:
+        packed_t, exact_t, counts_t, nmatch, nexact = stage_a_masks_pallas(
+            bins, cc, qbin, q_cc, k_ana
+        )
+    else:
+        packed_t, exact_t, counts_t, nmatch, nexact = stage_a_masks_xla(
+            bins, cc, validrows, qbin, q_cc, k_ana
+        )
+    # StopAtExactMatch (lib.rs:1158-1174): when a query has an exact anagram,
+    # only exact pairs survive; the restriction is applied as a pair filter in
+    # stage B (exact pairs are a subset of the L1 ball)
+    use_exact = stop_exact & (nexact > 0)
+    n_match = jnp.where(use_exact, nexact, nmatch)
+    total_match = nmatch.sum()
+
     sentinel = jnp.int32(B * Ni_pad)
-    # hierarchical compaction: a full-length cumsum over B*Ni elements costs
-    # hundreds of MB of multi-pass traffic; instead reduce 128-wide blocks
-    # (single pass), cumsum the tiny block-count vector, locate each output
-    # slot's block by binary search, and rank within the gathered block row
+    # hierarchical compaction over block counts: tiny cumsum, per-slot binary
+    # search, rank within the unpacked 16-byte block row. Stage-A outputs are
+    # lexicon-major ([Ni/8, B] etc.); indexing below converts to the q-major
+    # flat (query, candidate) order the pair list uses.
     BLK = 128
-    M = (B * Ni_pad) // BLK
-    blocks = flat_mask.reshape(M, BLK)
-    bp = jnp.cumsum(blocks.sum(axis=1, dtype=jnp.int32))  # [M] inclusive
+    M_lex = Ni_pad // BLK
+    M = B * M_lex
+    bp = jnp.cumsum(counts_t.T.reshape(-1))  # q-major [M] inclusive
     targets = jnp.arange(1, P + 1, dtype=jnp.int32)
     blk_of = jnp.searchsorted(bp, targets, side="left")
     pvalid_slot = blk_of < M
     blk_safe = jnp.minimum(blk_of, M - 1)
     prev = jnp.where(blk_safe > 0, bp[jnp.maximum(blk_safe - 1, 0)], 0)
     rank = targets - prev  # 1-based rank within the block
-    rows = blocks[blk_safe].astype(jnp.int32)  # [P, BLK]
-    within = jnp.cumsum(rows, axis=1)
-    pos = jnp.sum(within < rank[:, None], axis=1).astype(jnp.int32)
-    pair_flat = jnp.where(pvalid_slot, blk_safe * BLK + pos, sentinel).astype(
-        jnp.int32
+    blk_q = blk_safe // M_lex
+    blk_lex = blk_safe % M_lex
+    flat_packed_t = packed_t.reshape(-1)  # [(Ni/8) * B] uint8, lex-major
+    byte_idx = (
+        blk_lex[:, None] * (BLK // 8)
+        + jnp.arange(BLK // 8, dtype=jnp.int32)[None, :]
+    ) * B + blk_q[:, None]
+    row_bytes = flat_packed_t[byte_idx].astype(jnp.int32)  # [P, 16]
+    # two-level rank: per-byte popcounts locate the byte, then unpack just
+    # that byte (6x cheaper than unpacking all 128 bits per slot)
+    v = row_bytes - ((row_bytes >> 1) & 0x55)
+    v = (v & 0x33) + ((v >> 2) & 0x33)
+    pc = (v + (v >> 4)) & 0x0F  # popcount [P, 16]
+    within16 = jnp.cumsum(pc, axis=1)
+    byte_pos = jnp.sum(within16 < rank[:, None], axis=1).astype(jnp.int32)
+    byte_pos = jnp.minimum(byte_pos, BLK // 8 - 1)
+    base = jnp.where(
+        byte_pos > 0,
+        jnp.take_along_axis(
+            within16, jnp.maximum(byte_pos - 1, 0)[:, None], axis=1
+        )[:, 0],
+        0,
     )
+    chosen = jnp.take_along_axis(row_bytes, byte_pos[:, None], axis=1)[:, 0]
+    rank_in_byte = rank - base
+    bits8 = (chosen[:, None] >> jnp.arange(8, dtype=jnp.int32)) & 1
+    within8 = jnp.cumsum(bits8, axis=1)
+    bit_pos = jnp.sum(within8 < rank_in_byte[:, None], axis=1).astype(jnp.int32)
+    pos = byte_pos * 8 + bit_pos
+    pair_flat = jnp.where(
+        pvalid_slot, blk_q * Ni_pad + blk_lex * BLK + pos, sentinel
+    ).astype(jnp.int32)
 
     # ---------------- Stage B: scoring ----------------
     pvalid = pair_flat < sentinel
@@ -360,6 +393,14 @@ def _query_core(
     ) / w_sum
 
     pass_ed = pvalid & (ld <= k_ed[pq_safe])
+    # stop-at-exact restriction: drop non-exact pairs of queries with exacts
+    pair_cand = pair_flat % Ni_pad
+    exact_byte_idx = jnp.minimum(
+        (pair_cand // 8) * B + pq_safe, Ni_pad // 8 * B - 1
+    )
+    pair_exact_byte = exact_t.reshape(-1)[exact_byte_idx].astype(jnp.int32)
+    pair_exact = ((pair_exact_byte >> (pair_cand % 8)) & 1) == 1
+    pass_ed = pass_ed & (~use_exact[pq_safe] | pair_exact)
     keep_strict = pass_ed & (score >= score_threshold)
     keep = pass_ed & (score >= score_threshold - THRESHOLD_SLACK)
 
@@ -402,7 +443,9 @@ class DevicePipeline:
         counts = index.counts.astype(np.int32)
         self.T = max(1, int(counts.max())) if counts.size else 1
 
-        Ni_pad = max(128, -(-self.Ni // 128) * 128)
+        # pad rows so the fused stage-A kernel's row blocks tile evenly
+        unit = 2048 if _use_pallas() else 128
+        Ni_pad = max(unit, -(-self.Ni // unit) * unit)
         self.Ni_pad = Ni_pad
         pad = Ni_pad - self.Ni
 

@@ -1,0 +1,142 @@
+"""Stage A: L1-ball retrieval masks — fused Pallas kernel + XLA fallback.
+
+Computes, for every (query, lexicon row) pair, whether the row lies in the
+query's L1 ball, and emits *compact artifacts* instead of materializing the
+[B, Ni] distance matrix in HBM:
+
+  * ``packed_t``  uint8 [Ni/8, B]   — hit mask, bit-packed along lexicon rows
+  * ``exact_t``   uint8 [Ni/8, B]   — exact-anagram mask (L1 == 0)
+  * ``counts_t``  int32 [Ni/128, B] — hits per 128-row lexicon block
+  * ``nmatch``/``nexact`` int32 [B] — per-query totals
+
+Outputs are lexicon-major (queries in the minor dimension) so every Pallas
+output block keeps the full B-wide lane dimension; the downstream compaction
+adjusts its flat indexing instead of transposing the big arrays.
+
+The kernel tiles the lexicon (grid over row blocks), runs the binarized int8
+matmul on the MXU per tile, and reduces in VMEM; HBM traffic is a few bytes
+per lexicon row instead of the ~4*B*Ni of the naive XLA formulation (kept as
+the CPU-backend fallback with identical outputs).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROW_BLOCK = 1024  # lexicon rows per grid step
+
+
+def _pack_bits_rows(mask_t: jnp.ndarray) -> jnp.ndarray:
+    """[R, B] bool -> [R/8, B] uint8: bit r%8 of byte r//8 is row r."""
+    R, B = mask_t.shape
+    m = mask_t.reshape(R // 8, 8, B).astype(jnp.int32)
+    weights = (1 << jnp.arange(8, dtype=jnp.int32))[None, :, None]
+    return jnp.sum(m * weights, axis=1).astype(jnp.uint8)
+
+
+def _stage_a_kernel(
+    qbin_ref,  # [B, AT] int8
+    q_cc_ref,  # [1, B] int32
+    k_ana_ref,  # [1, B] int32
+    bins_ref,  # [RB, AT] int8
+    cc_ref,  # [RB, 1] int32
+    packed_ref,  # [RB/8, B] uint8
+    exact_ref,  # [RB/8, B] uint8
+    counts_ref,  # [RB/128, B] int32
+    nmatch_ref,  # [1, B] int32 (accumulated across grid)
+    nexact_ref,  # [1, B] int32 (accumulated)
+):
+    i = pl.program_id(0)
+    dot = jax.lax.dot_general(
+        bins_ref[...],
+        qbin_ref[...],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [RB, B]
+    l1 = cc_ref[...] + q_cc_ref[0][None, :] - 2 * dot
+    mask = l1 <= k_ana_ref[0][None, :]
+    exact = l1 == 0
+
+    packed_ref[...] = _pack_bits_rows(mask)
+    exact_ref[...] = _pack_bits_rows(exact)
+    RB, B = mask.shape
+    counts_ref[...] = (
+        mask.reshape(RB // 128, 128, B).astype(jnp.int32).sum(axis=1)
+    )
+
+    @pl.when(i == 0)
+    def _():
+        nmatch_ref[...] = jnp.zeros_like(nmatch_ref)
+        nexact_ref[...] = jnp.zeros_like(nexact_ref)
+
+    nmatch_ref[0] += mask.astype(jnp.int32).sum(axis=0)
+    nexact_ref[0] += exact.astype(jnp.int32).sum(axis=0)
+
+
+def stage_a_masks_pallas(bins, cc, qbin, q_cc, k_ana):
+    """Fused Pallas path (TPU). Shapes: bins [Ni, AT] int8, cc [Ni] int32,
+    qbin [B, AT] int8, q_cc/k_ana [B] int32. Ni must divide by ROW_BLOCK.
+    Padded lexicon rows must carry a huge cc so they never match."""
+    Ni, AT = bins.shape
+    B = qbin.shape[0]
+    assert Ni % ROW_BLOCK == 0
+    nblk = Ni // ROW_BLOCK
+    out = pl.pallas_call(
+        _stage_a_kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((B, AT), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (ROW_BLOCK, AT), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((ROW_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (ROW_BLOCK // 8, B), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (ROW_BLOCK // 8, B), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (ROW_BLOCK // 128, B), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Ni // 8, B), jnp.uint8),
+            jax.ShapeDtypeStruct((Ni // 8, B), jnp.uint8),
+            jax.ShapeDtypeStruct((Ni // 128, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ],
+    )(qbin, q_cc.reshape(1, B), k_ana.reshape(1, B), bins, cc.reshape(Ni, 1))
+    packed_t, exact_t, counts_t, nmatch, nexact = out
+    return packed_t, exact_t, counts_t, nmatch[0], nexact[0]
+
+
+def stage_a_masks_xla(bins, cc, validrows, qbin, q_cc, k_ana):
+    """XLA fallback with identical outputs (CPU backend / small models)."""
+    summin = jax.lax.dot_general(
+        bins, qbin, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )  # [Ni, B]
+    l1 = cc[:, None] + q_cc[None, :] - 2 * summin
+    mask = (l1 <= k_ana[None, :]) & validrows[:, None]
+    exact = (l1 == 0) & validrows[:, None]
+    packed_t = _pack_bits_rows(mask)
+    exact_t = _pack_bits_rows(exact)
+    Ni, B = mask.shape
+    counts_t = mask.reshape(Ni // 128, 128, B).astype(jnp.int32).sum(axis=1)
+    return (
+        packed_t,
+        exact_t,
+        counts_t,
+        mask.astype(jnp.int32).sum(axis=0),
+        exact.astype(jnp.int32).sum(axis=0),
+    )

@@ -63,8 +63,11 @@ class ShardedPipeline(DevicePipeline):
         counts = index.counts.astype(np.int32)
         self.T = max(1, int(counts.max())) if counts.size else 1
 
-        # pad rows to a multiple of 128 * n_lex so shards are uniform
-        unit = 128 * self.n_lex
+        # pad rows to uniform shards; on TPUs shards must also tile the fused
+        # stage-A kernel's row blocks
+        from ..ops.pipeline import _use_pallas
+
+        unit = (2048 if _use_pallas() else 128) * self.n_lex
         Ni_pad = max(unit, -(-self.Ni // unit) * unit)
         self.Ni_pad = Ni_pad
         self.Ni_shard = Ni_pad // self.n_lex
