@@ -373,8 +373,11 @@ def process_batched(
         if progress:
             progresstime = _show_progress(seqnr, progresstime, len(batch))
         batch.clear()
+        if batchsize == 1:
+            sys.stdout.flush()  # interactive mode: respond per line
 
-    for line in stream:
+    lines = iter(stream.readline, "") if batchsize == 1 else stream
+    for line in lines:
         batch.append(line.rstrip("\n"))
         if len(batch) >= batchsize:
             flush()

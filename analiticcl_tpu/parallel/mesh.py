@@ -32,6 +32,18 @@ from ..ops import pipeline as pl
 from ..ops.pipeline import BIG_L1, DevicePipeline, _query_core
 
 
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host (DCN) initialization passthrough.
+
+    The reference has no distributed story (SURVEY.md §2.8); here multi-host
+    runs use standard JAX distributed initialization — afterwards
+    ``jax.devices()`` returns the global device set and :func:`make_mesh`
+    spans hosts, with the lexicon shards placed across all HBM and the same
+    psum/pmax collectives riding ICI within a slice and DCN across slices.
+    """
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(devices: Optional[Sequence] = None, dp: Optional[int] = None) -> Mesh:
     """Create a ("dp", "lex") mesh over the given devices.
 

@@ -197,12 +197,52 @@ def build_1m():
     }
 
 
+def confusables_errors():
+    """BASELINE config[2]: confusable list + error list with weighted rescoring."""
+    import os
+
+    conf_path = "/tmp/bench_confusables.tsv"
+    with open(conf_path, "w", encoding="utf-8") as f:
+        f.write("-[y]+[i]\t1.2\n-[s]+[f]\t1.1\n-[rn]+[m]\t1.2\n=[c]-[e]+[a]\t1.1\n")
+    err_path = "/tmp/bench_errors.tsv"
+    with open(err_path, "w", encoding="utf-8") as f:
+        f.write("their\tthier\t0.9\nreceive\trecieve\t0.9\nseparate\tseperate\t0.9\n")
+    model = VariantModel(alphabet_file=ALPHABET)
+    model.read_vocabulary(ENG, VocabParams())
+    model.read_variants(err_path, VocabParams(), transparent=True)
+    model.read_confusablelist(conf_path)
+    t0 = time.time()
+    model.build()
+    build_s = time.time() - t0
+    model.set_backend("device")
+    rng = random.Random(7)
+    words = [model.decoder[i].text for i in range(3, len(model.decoder), 19)]
+    queries = [corrupt(w, rng) for w in words[:4096]] + [
+        "thier", "recieve", "seperate"
+    ]
+    params = SearchParameters(
+        max_anagram_distance=DistanceThreshold.absolute(3),
+        max_edit_distance=DistanceThreshold.absolute(2),
+        max_matches=10,
+    )
+    qps = _throughput(model, queries, params)
+    res = model.find_variants_batch(["thier"], params)[0]
+    top = model.decoder[res[0].vocab_id].text if res else None
+    return {
+        "scenario": "confusables_errors",
+        "qps": round(qps, 1),
+        "build_s": round(build_s, 2),
+        "thier_top": top,
+    }
+
+
 SCENARIOS = {
     "query_eng": query_eng,
     "query_nld_freq": query_nld_freq,
     "search_text": search_text,
     "learn": learn,
     "build_1m": build_1m,
+    "confusables_errors": confusables_errors,
 }
 
 
