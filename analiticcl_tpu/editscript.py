@@ -58,7 +58,22 @@ EditScript = List[Instruction]
 
 
 def shortest_edit_script(a: str, b: str) -> EditScript:
-    """Minimal insert/delete script transforming ``a`` into ``b``."""
+    """Minimal insert/delete script transforming ``a`` into ``b``.
+
+    Uses the native C++ implementation when available (same DP and traceback
+    preferences; parity-tested), falling back to the Python path."""
+    try:
+        from .utils.native import edit_script_native
+
+        ops = edit_script_native(a, b)
+        if ops is not None:
+            return [Instruction(Op(op), text) for op, text in ops]
+    except Exception:
+        pass
+    return _shortest_edit_script_py(a, b)
+
+
+def _shortest_edit_script_py(a: str, b: str) -> EditScript:
     sa, sb = list(a), list(b)
     n, m = len(sa), len(sb)
 

@@ -945,7 +945,27 @@ class VariantModel:
     def rescore_confusables(
         self, results: List[VariantResult], input_text: str
     ) -> None:
-        """Multiply in confusable weights (lib.rs:1656-1663)."""
+        """Multiply in confusable weights (lib.rs:1656-1663). Edit scripts
+        for all candidates compute in one native batch call when possible."""
+        if not results:
+            return
+        try:
+            from ..utils.native import edit_scripts_batch
+            from ..editscript import Instruction, Op
+
+            texts = [self.decoder[r.vocab_id].text for r in results]
+            scripts = edit_scripts_batch(input_text, texts)
+        except Exception:
+            scripts = None
+        if scripts is not None:
+            for result, ops in zip(results, scripts):
+                script = [Instruction(Op(op), text) for op, text in ops]
+                weight = 1.0
+                for confusable in self.confusables:
+                    if confusable.found_in(script):
+                        weight *= confusable.weight
+                result.dist_score *= weight
+            return
         for result in results:
             result.dist_score *= self.compute_confusable_weight(
                 input_text, result.vocab_id

@@ -78,6 +78,26 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.ananorm_edit_script.restype = ctypes.c_int64
+        lib.ananorm_edit_script.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+        ]
+        lib.ananorm_edit_script_batch.restype = ctypes.c_int64
+        lib.ananorm_edit_script_batch.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.ananorm_anavalue_batch.argtypes = [
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
@@ -203,3 +223,95 @@ def anavalue_bytes_batch(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out
+
+
+def edit_script_native(a: str, b: str):
+    """Encoded shortest edit script from the native library; None if absent.
+
+    Returns a list of (op_char, run_text) with op in '=', '-', '+'.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    ab = a.encode("utf-8")
+    bb = b.encode("utf-8")
+    cap = 2 * (len(ab) + len(bb)) + 64
+    out = ctypes.create_string_buffer(cap)
+    n = lib.ananorm_edit_script(ab, len(ab), bb, len(bb), out, cap)
+    if n < 0:
+        return None
+    data = out.raw[:n]
+    ops = []
+    i = 0
+    while i < n:
+        op = chr(data[i])
+        i += 1
+        ln = 0
+        shift = 0
+        while True:
+            byte = data[i]
+            i += 1
+            ln |= (byte & 0x7F) << shift
+            if byte < 0x80:
+                break
+            shift += 7
+        ops.append((op, data[i : i + ln].decode("utf-8")))
+        i += ln
+    return ops
+
+
+def _decode_script(data: bytes):
+    ops = []
+    i = 0
+    n = len(data)
+    while i < n:
+        op = chr(data[i])
+        i += 1
+        ln = 0
+        shift = 0
+        while True:
+            byte = data[i]
+            i += 1
+            ln |= (byte & 0x7F) << shift
+            if byte < 0x80:
+                break
+            shift += 7
+        ops.append((op, data[i : i + ln].decode("utf-8")))
+        i += ln
+    return ops
+
+
+def edit_scripts_batch(a: str, bs: "Sequence[str]"):
+    """Shortest edit scripts from `a` to each of `bs` in one native call;
+    None if the native library is unavailable."""
+    lib = _load()
+    if lib is None or not bs:
+        return None
+    ab = a.encode("utf-8")
+    enc = [b.encode("utf-8") for b in bs]
+    blob = b"".join(enc)
+    offs = np.zeros(len(bs) + 1, dtype=np.int64)
+    np.cumsum(
+        np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc)),
+        out=offs[1:],
+    )
+    cap = sum(2 * (len(ab) + len(e)) + 64 for e in enc)
+    out = ctypes.create_string_buffer(cap)
+    out_offs = np.zeros(len(bs) + 1, dtype=np.int64)
+    n = lib.ananorm_edit_script_batch(
+        ab,
+        len(ab),
+        blob,
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(bs),
+        out,
+        cap,
+        out_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if n < 0:
+        return None
+    raw = out.raw
+    return [
+        _decode_script(raw[out_offs[k] : out_offs[k + 1]])
+        for k in range(len(bs))
+    ]

@@ -186,4 +186,153 @@ void ananorm_anavalue_batch(const int32_t* norms, const int32_t* lens,
     }
 }
 
+// ---------------------------------------------------------------------------
+// Shortest edit scripts (sesdiff-equivalent; see analiticcl_tpu/editscript.py
+// for the reference Python implementation whose traceback order this mirrors
+// exactly: identity preferred, then insertion, then deletion — which emits
+// deletions before insertions in forward order).
+// Output encoding: one byte op ('=', '-', '+') + uvarint byte-length + UTF-8
+// run bytes, repeated; total length returned.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// decode UTF-8 into codepoint start offsets
+static void utf8_offsets(const char* s, int64_t n, std::vector<int32_t>& offs) {
+    offs.clear();
+    int64_t i = 0;
+    while (i < n) {
+        offs.push_back((int32_t)i);
+        i += utf8_len((unsigned char)s[i]);
+        if (i > n) i = n;
+    }
+    offs.push_back((int32_t)n);
+}
+
+}  // namespace
+
+// Computes the shortest edit script from a to b. out receives the encoded
+// instruction stream (caller provides capacity out_cap); returns the encoded
+// length, or -1 if out_cap is too small.
+int64_t ananorm_edit_script(const char* a, int64_t an, const char* b,
+                            int64_t bn, char* out, int64_t out_cap) {
+    std::vector<int32_t> ao, bo;
+    utf8_offsets(a, an, ao);
+    utf8_offsets(b, bn, bo);
+    int n = (int)ao.size() - 1;
+    int m = (int)bo.size() - 1;
+
+    // strip common prefix / suffix (in codepoints)
+    int pre = 0;
+    while (pre < n && pre < m) {
+        int la = ao[pre + 1] - ao[pre], lb = bo[pre + 1] - bo[pre];
+        if (la != lb || memcmp(a + ao[pre], b + bo[pre], la) != 0) break;
+        pre++;
+    }
+    int suf = 0;
+    while (suf < n - pre && suf < m - pre) {
+        int ia = n - 1 - suf, ib = m - 1 - suf;
+        int la = ao[ia + 1] - ao[ia], lb = bo[ib + 1] - bo[ib];
+        if (la != lb || memcmp(a + ao[ia], b + bo[ib], la) != 0) break;
+        suf++;
+    }
+    int cn = n - pre - suf, cm = m - pre - suf;
+
+    // LCS-alignment DP over the core
+    std::vector<int32_t> dp((int64_t)(cn + 1) * (cm + 1));
+    auto D = [&](int i, int j) -> int32_t& { return dp[(int64_t)i * (cm + 1) + j]; };
+    for (int i = 0; i <= cn; i++) D(i, 0) = i;
+    for (int j = 0; j <= cm; j++) D(0, j) = j;
+    for (int i = 1; i <= cn; i++) {
+        int ia = pre + i - 1;
+        int la = ao[ia + 1] - ao[ia];
+        for (int j = 1; j <= cm; j++) {
+            int ib = pre + j - 1;
+            int lb = bo[ib + 1] - bo[ib];
+            if (la == lb && memcmp(a + ao[ia], b + bo[ib], la) == 0) {
+                D(i, j) = D(i - 1, j - 1);
+            } else {
+                int32_t d = D(i - 1, j) < D(i, j - 1) ? D(i - 1, j) : D(i, j - 1);
+                D(i, j) = d + 1;
+            }
+        }
+    }
+
+    // traceback (reverse order); ops: 0=identity char from a, 1=insert char
+    // from b, 2=delete char from a — consuming insertions first puts
+    // deletions first in forward order (editscript.py:_diff_core)
+    std::vector<std::pair<char, int32_t>> rev;  // (op, codepoint index in a/b)
+    int i = cn, j = cm;
+    while (i > 0 || j > 0) {
+        int ia = pre + i - 1, ib = pre + j - 1;
+        bool eq = false;
+        if (i > 0 && j > 0) {
+            int la = ao[ia + 1] - ao[ia], lb = bo[ib + 1] - bo[ib];
+            eq = (la == lb && memcmp(a + ao[ia], b + bo[ib], la) == 0 &&
+                  D(i, j) == D(i - 1, j - 1));
+        }
+        if (eq) {
+            rev.push_back({'=', ia});
+            i--; j--;
+        } else if (j > 0 && D(i, j) == D(i, j - 1) + 1) {
+            rev.push_back({'+', ib});
+            j--;
+        } else {
+            rev.push_back({'-', ia});
+            i--;
+        }
+    }
+
+    // emit: prefix identity, core (reversed), suffix identity; aggregate runs
+    std::string buf;
+    char cur_op = 0;
+    std::string cur_text;
+    auto flush = [&]() {
+        if (cur_op == 0 || cur_text.empty()) { cur_op = 0; cur_text.clear(); return; }
+        buf.push_back(cur_op);
+        uint64_t len = cur_text.size();
+        while (len >= 0x80) { buf.push_back((char)(0x80 | (len & 0x7F))); len >>= 7; }
+        buf.push_back((char)len);
+        buf += cur_text;
+        cur_op = 0;
+        cur_text.clear();
+    };
+    auto emit = [&](char op, const char* p, int l) {
+        if (op != cur_op) { flush(); cur_op = op; }
+        cur_text.append(p, l);
+    };
+    if (pre) emit('=', a, ao[pre]);
+    for (auto it = rev.rbegin(); it != rev.rend(); ++it) {
+        char op = it->first;
+        int32_t idx = it->second;
+        if (op == '+') emit('+', b + bo[idx], bo[idx + 1] - bo[idx]);
+        else emit(op, a + ao[idx], ao[idx + 1] - ao[idx]);
+    }
+    if (suf) emit('=', a + ao[n - suf], an - ao[n - suf]);
+    flush();
+
+    if ((int64_t)buf.size() > out_cap) return -1;
+    memcpy(out, buf.data(), buf.size());
+    return (int64_t)buf.size();
+}
+
+// Batch variant: one input `a` against n_b candidates (concatenated in bs
+// with bo offsets, n_b+1 entries). Encodings are written back-to-back into
+// out; out_offsets (n_b+1 entries) receives the boundaries. Returns total
+// bytes or -1 if out_cap is too small.
+int64_t ananorm_edit_script_batch(const char* a, int64_t an, const char* bs,
+                                  const int64_t* bo, int32_t n_b, char* out,
+                                  int64_t out_cap, int64_t* out_offsets) {
+    int64_t pos = 0;
+    out_offsets[0] = 0;
+    for (int32_t k = 0; k < n_b; k++) {
+        int64_t r = ananorm_edit_script(a, an, bs + bo[k], bo[k + 1] - bo[k],
+                                        out + pos, out_cap - pos);
+        if (r < 0) return -1;
+        pos += r;
+        out_offsets[k + 1] = pos;
+    }
+    return pos;
+}
+
 }  // extern "C"
