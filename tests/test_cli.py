@@ -101,3 +101,45 @@ def test_learn_mode():
 def test_testinput_mode():
     out = run_cli(["testinput", "-a", ALPHABET], stdin="hello\n")
     assert out.startswith("OK: hello\t")
+
+
+def test_search_with_lm(tmp_path):
+    """LM-driven bigram selection through the CLI (reference test0702 shape)."""
+    lex = tmp_path / "lex.tsv"
+    lex.write_text(
+        "I\t2\nthink\t2\nsink\t2\nyou\t2\nare\t2\nright\t2\nare right\t2\n"
+    )
+    lm = tmp_path / "lm.tsv"
+    lm.write_text(
+        "<bos> I\t2\nI think\t2\nI sink\t1\nyou are\t2\nright <eos>\t2\n"
+    )
+    out = run_cli(
+        [
+            "search", "-a", ALPHABET, "-l", str(lex), "--lm", str(lm),
+            "--backend", "oracle", "-t", "0.0", "-T", "0",
+        ],
+        stdin="I tink you are rihgt\n",
+    )
+    lines = out.strip().split("\n")
+    texts = [l.split("\t")[0] for l in lines]
+    assert texts == ["I", "tink", "you", "are rihgt"]
+    assert "\tthink\t" in lines[1]
+    assert "\tare right\t" in lines[3]
+
+
+def test_import_analiticcl_shim():
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import analiticcl; m = analiticcl.VariantModel("
+            f"'{ALPHABET}', analiticcl.Weights()); print('shim ok')",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env=ENV,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-1000:]
+    assert "shim ok" in proc.stdout
