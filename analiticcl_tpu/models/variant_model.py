@@ -710,6 +710,35 @@ class VariantModel:
             return self._device.find_variants_batch(inputs, params)
         return [self._find_variants_oracle(text, params) for text in inputs]
 
+    def find_variants_stream(
+        self, inputs: Sequence[str], params: SearchParameters, batch_size: int = 1024
+    ):
+        """Generator over per-input results with double-buffered device
+        execution: the device computes batch N+1 while the host ranks batch N
+        (hides remote-TPU round trips). Falls back to plain batching on the
+        oracle backend."""
+        backend = self._backend
+        if backend == "auto":
+            backend = "device" if (self.index and self.index.size >= 64) else "oracle"
+        if backend != "device":
+            for start in range(0, len(inputs), batch_size):
+                for res in self.find_variants_batch(
+                    inputs[start : start + batch_size], params
+                ):
+                    yield res
+            return
+        if self._device is None:
+            from ..ops.pipeline import get_device_pipeline
+
+            self._device = get_device_pipeline(self)
+        batches = (
+            inputs[start : start + batch_size]
+            for start in range(0, len(inputs), batch_size)
+        )
+        for batch_results in self._device.find_variants_stream(batches, params):
+            for res in batch_results:
+                yield res
+
     def _resolve_distances(
         self, normstring_len: int, params: SearchParameters
     ) -> Tuple[int, int]:

@@ -500,13 +500,19 @@ class DevicePipeline:
 
     # ------------------------------------------------------------------
 
-    def _run_fused(self, args, window: int):
-        """One fused device call + one bundled transfer. Returns host arrays."""
-        out = _query_fused(
+    def _submit_fused(self, args, window: int):
+        """Enqueue the fused device call without blocking (async dispatch)."""
+        return _query_fused(
             *self._idx, *args, P=self._P, P2=self._P2, window=window
         )
+
+    def _finalize_fused(self, out):
+        """One bundled device->host transfer of a submitted call."""
         got = jax.device_get(out)
         return tuple(got[:9]) + (int(got[9]), int(got[10]))
+
+    def _run_fused(self, args, window: int):
+        return self._finalize_fused(self._submit_fused(args, window))
 
     def find_variants_batch(
         self, inputs: Sequence[str], params: SearchParameters
@@ -520,6 +526,27 @@ class DevicePipeline:
                     )
                 )
             return out
+        return self.collect(self.submit(inputs, params))
+
+    def find_variants_stream(self, batches, params: SearchParameters):
+        """Double-buffered execution over an iterable of input batches.
+
+        The device works on batch N+1 while the host ranks batch N's
+        survivors — on remote-attached TPUs this hides the round-trip latency
+        entirely. Yields one result list per input batch, in order.
+        """
+        pending = None
+        for batch in batches:
+            state = self.submit(batch, params)
+            if pending is not None:
+                yield self.collect(pending)
+            pending = state
+        if pending is not None:
+            yield self.collect(pending)
+
+    def submit(self, inputs: Sequence[str], params: SearchParameters):
+        """Host prep + async device dispatch; pair with :meth:`collect`."""
+        assert len(inputs) <= B_BUCKETS[-1]
         model = self.model
         enc = model.enc
         n = len(inputs)
@@ -541,7 +568,7 @@ class DevicePipeline:
                 active.append(i)
         if not active:
             prep_cm.__exit__(None, None, None)
-            return [r if r is not None else [] for r in results]
+            return {"results": results, "active": [], "inputs": inputs}
 
         B = _bucket(len(active), B_BUCKETS)
         act = np.asarray(active)
@@ -609,14 +636,44 @@ class DevicePipeline:
         window = _bucket(int(k_ed.max(initial=0)), WINDOW_BUCKETS)
         prep_cm.__exit__(None, None, None)
 
-        # fused call with sticky budgets; re-run on overflow
+        # async dispatch at the current sticky budgets; collect() re-runs
+        # synchronously on overflow
+        out = self._submit_fused(args, window)
+        return {
+            "results": results,
+            "active": active,
+            "inputs": inputs,
+            "params": params,
+            "args": args,
+            "window": window,
+            "B": B,
+            "q_lens": q_lens,
+            "out": out,
+            "submit_P": self._P,
+            "submit_P2": self._P2,
+        }
+
+    def collect(self, state) -> List[List[VariantResult]]:
+        """Block on a submitted batch, handle budget escalation, rank."""
+        results = state["results"]
+        active = state["active"]
+        inputs = state["inputs"]
+        if not active:
+            return [r if r is not None else [] for r in results]
+        params = state["params"]
+        args = state["args"]
+        window = state["window"]
+        B = state["B"]
+        q_lens = state["q_lens"]
+        model = self.model
+
         dev_cm = self.stats.stage("device")
         dev_cm.__enter__()
+        (
+            o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case,
+            n_keep, max_freq, total_match, total_keep,
+        ) = self._finalize_fused(state["out"])
         while True:
-            (
-                o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case,
-                n_keep, max_freq, total_match, total_keep,
-            ) = self._run_fused(args, window)
             overflowed = False
             if total_match > self._P and self._P < P_BUCKETS[-1]:
                 self._P = _bucket(total_match, P_BUCKETS)
@@ -633,6 +690,10 @@ class DevicePipeline:
                         file=sys.stderr,
                     )
                 break
+            (
+                o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case,
+                n_keep, max_freq, total_match, total_keep,
+            ) = self._run_fused(args, window)
 
         dev_cm.__exit__(None, None, None)
 

@@ -195,18 +195,20 @@ class ShardedPipeline(DevicePipeline):
         self._sharded_cache[key] = fn
         return fn
 
-    def _run_fused(self, args, window: int):
+    def _submit_fused(self, args, window: int):
         # shard query arrays over dp
         (
             qbin, q_cc, q_norms, q_norms_rev, q_lens, q_first_lower, k_ana,
             k_ed, stop_exact, weights, score_threshold, have_freq,
         ) = args
         fn = self._sharded_fn(self._P, self._P2, window)
-        out = fn(
+        return fn(
             *self._idx,
             qbin, q_cc, q_norms, q_norms_rev, q_lens, q_first_lower, k_ana,
             k_ed, stop_exact, weights, score_threshold, have_freq,
         )
+
+    def _finalize_fused(self, out):
         got = jax.device_get(out)
         (
             o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case,

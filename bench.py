@@ -98,12 +98,8 @@ def main():
 
     t0 = time.time()
     done = 0
-    for start in range(0, len(queries), B):
-        chunk = queries[start : start + B]
-        model.find_variants_batch(chunk, params)
-        done += len(chunk)
-        if time.time() - t0 > 60 and done >= 4 * B:
-            break
+    for _res in model.find_variants_stream(queries, params, batch_size=B):
+        done += 1
     elapsed = time.time() - t0
     qps = done / elapsed
     log(f"{done} queries in {elapsed:.2f}s = {qps:.0f} q/s")

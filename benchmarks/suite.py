@@ -59,11 +59,9 @@ def _throughput(model, queries, params, budget_s=30.0, batch=1024):
     model.find_variants_batch(queries[:batch], params)  # settle budgets
     t0 = time.time()
     done = 0
-    while time.time() - t0 < budget_s:
-        chunk = queries[done % len(queries) :][:batch] or queries[:batch]
-        model.find_variants_batch(chunk, params)
-        done += len(chunk)
-        if done >= 16384:
+    for _res in model.find_variants_stream(queries, params, batch_size=batch):
+        done += 1
+        if time.time() - t0 > budget_s and done >= 4 * batch:
             break
     return done / (time.time() - t0)
 

@@ -221,3 +221,17 @@ def test_device_oracle_parity_random_sweep(eng_model):
     got = eng_model.find_variants_batch(queries, params)
     for q, w, g in zip(queries, want, got):
         assert _result_tuples(eng_model, g) == _result_tuples(eng_model, w), q
+
+
+def test_stream_matches_batch(eng_model):
+    params = SearchParameters(
+        max_anagram_distance=DistanceThreshold.absolute(3),
+        max_edit_distance=DistanceThreshold.absolute(2),
+        max_matches=10,
+    )
+    eng_model.set_backend("device")
+    want = eng_model.find_variants_batch(QUERIES, params)
+    got = list(eng_model.find_variants_stream(QUERIES, params, batch_size=4))
+    assert len(got) == len(want)
+    for q, w, g in zip(QUERIES, want, got):
+        assert _result_tuples(eng_model, g) == _result_tuples(eng_model, w), q
