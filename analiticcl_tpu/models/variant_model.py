@@ -1561,10 +1561,12 @@ class VariantModel:
         )
         all_variants: List[List[Tuple[str, VariantResult]]] = []
         if strict:
-            batch_results = self.find_variants_batch(list(inputs), params)
+            inputs_list = list(inputs)
             all_variants = [
                 [(inputstr, r) for r in results]
-                for inputstr, results in zip(inputs, batch_results)
+                for inputstr, results in zip(
+                    inputs_list, self.find_variants_stream(inputs_list, params)
+                )
             ]
         else:
             for inputstr in inputs:
