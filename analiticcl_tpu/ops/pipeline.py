@@ -231,8 +231,7 @@ def _query_core(
     bins,  # int8 [Ni_pad, A*T]
     cc,  # int32 [Ni_pad]
     validrows,  # bool [Ni_pad]
-    norms,  # int32 [Ni_pad, L]
-    norms_rev,  # int32 [Ni_pad, L] (reversed, left-aligned)
+    norms2,  # int32 [Ni_pad, 2L]: forward norms | reversed left-aligned norms
     norm_lens,  # int32 [Ni_pad]
     freqs,  # f32 [Ni_pad]
     first_lower,  # bool [Ni_pad]
@@ -254,7 +253,7 @@ def _query_core(
 ):
     B = qbin.shape[0]
     Ni_pad = bins.shape[0]
-    L = norms.shape[1]
+    L = norms2.shape[1] // 2
 
     # ---------------- Stage A: retrieval ----------------
     # hit/exact masks arrive bit-packed with per-128-block counts, either from
@@ -330,8 +329,9 @@ def _query_core(
     pq = jnp.where(pvalid, pair_flat // Ni_pad, B)
     pc = jnp.where(pvalid, pair_flat % Ni_pad, 0)
 
-    cn = norms[pc]  # [P, L]
-    cnr = norms_rev[pc]
+    cn2 = norms2[pc]  # [P, 2L]: one gather for forward + reversed
+    cn = cn2[:, :L]
+    cnr = cn2[:, L:]
     cl = jnp.where(pvalid, norm_lens[pc], 0)
     cf = freqs[pc]
     cfl = first_lower[pc]
@@ -453,13 +453,18 @@ class DevicePipeline:
         bins = (counts[:, :, None] > t_levels).reshape(self.Ni, self.A * self.T)
         bins = np.pad(bins, ((0, pad), (0, 0))).astype(np.int8)
         cc = np.pad(index.charcounts, (0, pad), constant_values=BIG_L1)
-        norms = np.pad(
-            index.norms.astype(np.int32),
-            ((0, pad), (0, self.L - index.norms.shape[1])),
-        )
-        norms_rev = np.pad(
-            index.norms_reversed(),
-            ((0, pad), (0, self.L - index.norms.shape[1])),
+        norms2 = np.concatenate(
+            [
+                np.pad(
+                    index.norms.astype(np.int32),
+                    ((0, pad), (0, self.L - index.norms.shape[1])),
+                ),
+                np.pad(
+                    index.norms_reversed(),
+                    ((0, pad), (0, self.L - index.norms.shape[1])),
+                ),
+            ],
+            axis=1,
         )
         norm_lens = np.pad(index.norm_lens, (0, pad))
         freqs = np.pad(index.freqs.astype(np.float32), (0, pad))
@@ -471,8 +476,7 @@ class DevicePipeline:
             jnp.asarray(bins),
             jnp.asarray(cc.astype(np.int32)),
             jnp.asarray(np.arange(Ni_pad) < self.Ni),
-            jnp.asarray(norms),
-            jnp.asarray(norms_rev),
+            jnp.asarray(norms2),
             jnp.asarray(norm_lens.astype(np.int32)),
             jnp.asarray(freqs),
             jnp.asarray(first_lower),

@@ -91,13 +91,18 @@ class ShardedPipeline(DevicePipeline):
         cc = np.pad(index.charcounts, (0, pad), constant_values=BIG_L1).astype(
             np.int32
         )
-        norms = np.pad(
-            index.norms.astype(np.int32),
-            ((0, pad), (0, self.L - index.norms.shape[1])),
-        )
-        norms_rev = np.pad(
-            index.norms_reversed(),
-            ((0, pad), (0, self.L - index.norms.shape[1])),
+        norms2 = np.concatenate(
+            [
+                np.pad(
+                    index.norms.astype(np.int32),
+                    ((0, pad), (0, self.L - index.norms.shape[1])),
+                ),
+                np.pad(
+                    index.norms_reversed(),
+                    ((0, pad), (0, self.L - index.norms.shape[1])),
+                ),
+            ],
+            axis=1,
         )
         norm_lens = np.pad(index.norm_lens, (0, pad)).astype(np.int32)
         freqs = np.pad(index.freqs.astype(np.float32), (0, pad))
@@ -108,8 +113,7 @@ class ShardedPipeline(DevicePipeline):
         self._idx = tuple(
             jax.device_put(arr, row_sharding)
             for arr in (
-                bins, cc, validrows, norms, norms_rev, norm_lens, freqs,
-                first_lower,
+                bins, cc, validrows, norms2, norm_lens, freqs, first_lower,
             )
         )
         self._P = pl.P_BUCKETS[0]
@@ -135,7 +139,7 @@ class ShardedPipeline(DevicePipeline):
         mesh = self.mesh
         Ni_shard = self.Ni_shard
 
-        idx_specs = (P("lex"),) * 8
+        idx_specs = (P("lex"),) * 7
         q_specs = (P("dp"),) * 9  # qbin, q_cc, q_norms(+rev), q_lens, q_fl, k_ana, k_ed, stop
         rep_specs = (P(), P(), P())  # weights, threshold, have_freq
 
@@ -161,7 +165,7 @@ class ShardedPipeline(DevicePipeline):
             ),
         )
         def step(
-            bins, cc, validrows, norms, norms_rev, norm_lens, freqs, first_lower,
+            bins, cc, validrows, norms2, norm_lens, freqs, first_lower,
             qbin, q_cc, q_norms, q_norms_rev, q_lens, q_first_lower, k_ana,
             k_ed, stop_exact, weights, score_threshold, have_freq,
         ):
@@ -170,10 +174,9 @@ class ShardedPipeline(DevicePipeline):
                 o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case,
                 n_keep, max_freq, total_match, total_keep,
             ) = _query_core(
-                bins, cc, validrows, norms, norms_rev, norm_lens, freqs,
-                first_lower, qbin, q_cc, q_norms, q_norms_rev, q_lens,
-                q_first_lower, k_ana, k_ed, stop_exact, weights,
-                score_threshold, have_freq,
+                bins, cc, validrows, norms2, norm_lens, freqs, first_lower,
+                qbin, q_cc, q_norms, q_norms_rev, q_lens, q_first_lower,
+                k_ana, k_ed, stop_exact, weights, score_threshold, have_freq,
                 P=P_, P2=P2, window=window,
             )
             dp_i = jax.lax.axis_index("dp")
