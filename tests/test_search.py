@@ -278,3 +278,17 @@ def test0905_context_rules_multitag():
     assert matches[1].tag == [0, 1]
     assert matches[1].seqnr == [1, 1]
     assert model.match_to_str(matches[1]) == "think"
+
+
+def test0705_find_all_matches_context_only():
+    """context_weight is accepted but inert in v0.4.9 (rescore_input_context
+    is commented out upstream); the variant score alone picks 'think'."""
+    model = _lm_model()
+    model.build()
+    params = dataclasses.replace(
+        get_test_searchparams(), context_weight=0.5, lm_weight=0.0
+    )
+    matches = model.find_all_matches("I tink you are rihgt", params)
+    assert [m.text for m in matches] == ["I", "tink", "you", "are rihgt"]
+    assert model.match_to_str(matches[1]) == "think"
+    assert model.match_to_str(matches[3]) == "are right"
