@@ -66,6 +66,7 @@ if jax.config.jax_compilation_cache_dir is None:
     )
 
 from .dl_jax import PAD_A, PAD_B, affix_metrics_aligned, dl_metrics_windowed
+from .rank_batch import rank_fast_batch
 from ..types import (
     Distance,
     MAX_ANAGRAM_DISTANCE as _MAX_ANAGRAM_DISTANCE,
@@ -735,21 +736,41 @@ class DevicePipeline:
         expandable_all = self._has_variants[oc_safe]
 
         fast_ok = not model.confusables and getattr(model, "fast_tail", True)
+        nrows = len(active)
+        seg_counts = bounds[1:] - bounds[:-1]
+        floors = np.where(
+            n_keep[:B] > seg_counts, max_freq[:B].astype(np.float64), 0.0
+        )
+        if fast_ok:
+            # rows whose pairs contain an expandable variant fall back to the
+            # object path; everything else ranks in one whole-batch pass
+            exp_rows = np.zeros(B, dtype=bool)
+            if expandable_all.any():
+                exp_rows[: B] = np.bincount(
+                    o_q[expandable_all], minlength=B
+                )[:B].astype(bool)
+            elig_row = ~exp_rows
+            elig_row[nrows:] = False
+            pair_elig = elig_row[np.minimum(o_q, B - 1)] & (o_q < nrows)
+            batch_res = rank_fast_batch(
+                model,
+                vocab_ids,
+                o_c[pair_elig],
+                score_all[pair_elig],
+                freq_all[pair_elig],
+                o_q[pair_elig],
+                nrows,
+                floors[:nrows],
+                params,
+            )
+        else:
+            elig_row = np.zeros(B, dtype=bool)
+            batch_res = None
         for row, i in enumerate(active):
             lo, hi = int(bounds[row]), int(bounds[row + 1])
-            max_freq_floor = (
-                float(max_freq[row]) if int(n_keep[row]) > hi - lo else 0.0
-            )
-            if fast_ok and not expandable_all[lo:hi].any():
-                results[i] = _rank_fast(
-                    model,
-                    vocab_ids,
-                    o_c[lo:hi],
-                    score_all[lo:hi],
-                    freq_all[lo:hi],
-                    params,
-                    max_freq_floor,
-                )
+            max_freq_floor = float(floors[row])
+            if elig_row[row]:
+                results[i] = batch_res[row]
             else:
                 instances: List[Tuple[int, Distance]] = [
                     (

@@ -235,3 +235,57 @@ def test_stream_matches_batch(eng_model):
     assert len(got) == len(want)
     for q, w, g in zip(QUERIES, want, got):
         assert _result_tuples(eng_model, g) == _result_tuples(eng_model, w), q
+
+
+def test_rank_fast_batch_equals_rank_fast():
+    """rank_fast_batch must be bit-equal to _rank_fast per segment, including
+    the tie-aware crop quirks — stress with quantized scores so ties collide
+    at the crop boundary far more often than real queries produce."""
+    import random
+    import types as pytypes
+
+    import numpy as np
+
+    from analiticcl_tpu.ops.pipeline import _rank_fast
+    from analiticcl_tpu.ops.rank_batch import rank_fast_batch
+    from analiticcl_tpu.types import SearchParameters
+
+    rng = random.Random(7)
+    fake_model = pytypes.SimpleNamespace(have_freq=True)
+    vocab_ids = np.arange(5000, dtype=np.int64)
+
+    for trial in range(40):
+        nseg = rng.randint(1, 12)
+        segs, rows, dists, freqs = [], [], [], []
+        for g in range(nseg):
+            n = rng.choice([0, 1, 2, 3, 5, 9, 15, 40])
+            for _ in range(n):
+                segs.append(g)
+                rows.append(rng.randrange(5000))
+                # quantized scores -> many exact ties
+                dists.append(rng.choice([0.25, 0.5, 0.5, 0.625, 0.75, 1.0]))
+                freqs.append(float(rng.choice([1, 1, 2, 10])))
+        seg = np.array(segs, dtype=np.int64)
+        o_c = np.array(rows, dtype=np.int64)
+        ds = np.array(dists)
+        fr = np.array(freqs)
+        floors = np.array([rng.choice([0.0, 5.0]) for _ in range(nseg)])
+        fake_model.have_freq = rng.random() < 0.7
+        params = SearchParameters(
+            max_matches=rng.choice([0, 1, 2, 3, 10]),
+            score_threshold=rng.choice([0.0, 0.3, 0.6]),
+            cutoff_threshold=rng.choice([0.0, 1.0, 1.5, 2.0]),
+            freq_weight=rng.choice([0.0, 0.0, 0.5, 1.0]),
+        )
+        got = rank_fast_batch(
+            fake_model, vocab_ids, o_c, ds, fr, seg, nseg, floors, params
+        )
+        for g in range(nseg):
+            m = seg == g
+            want = _rank_fast(
+                fake_model, vocab_ids, o_c[m], ds[m], fr[m], params,
+                float(floors[g]),
+            )
+            gt = [(r.vocab_id, r.dist_score, r.freq_score) for r in got[g]]
+            wt = [(r.vocab_id, r.dist_score, r.freq_score) for r in want]
+            assert gt == wt, (trial, g, params)
