@@ -57,6 +57,9 @@ def _model(lexicon):
 def _throughput(model, queries, params, budget_s=30.0, batch=1024):
     model.find_variants_batch(queries[:batch], params)  # compile
     model.find_variants_batch(queries[:batch], params)  # settle budgets
+    tail = len(queries) % batch
+    if tail:  # warm the final partial-batch bucket too
+        model.find_variants_batch(queries[-tail:], params)
     t0 = time.time()
     done = 0
     for _res in model.find_variants_stream(queries, params, batch_size=batch):
