@@ -278,51 +278,86 @@ def _query_core(
     total_match = nmatch.sum()
 
     sentinel = jnp.int32(B * Ni_pad)
-    # hierarchical compaction over block counts: tiny cumsum, per-slot binary
-    # search, rank within the unpacked 16-byte block row. Stage-A outputs are
-    # lexicon-major ([Ni/8, B] etc.); indexing below converts to the q-major
+    # hierarchical compaction over block counts. Stage-A outputs are
+    # lexicon-major ([Ni/8, B] etc.); everything below runs in the q-major
     # flat (query, candidate) order the pair list uses.
+    #
+    # Slot -> (query, block) resolution. Random gathers on TPU cost ~1ms per
+    # [P]-column regardless of element width, so the design minimizes gathered
+    # columns: the query is found with a gather-free compare-sum reduction
+    # (the [B] cumsum broadcasts and streams), the block with an unrolled
+    # log2(M_lex)-step binary search (one column each). Ranking within the
+    # 128-candidate block reads ONE contiguous 16-byte slice per slot (the
+    # masks are re-laid out q-major and bitcast to u32 words) instead of 16
+    # B-strided bytes.
     BLK = 128
+    WPB = BLK // 32  # u32 words per block
     M_lex = Ni_pad // BLK
-    M = B * M_lex
-    bp = jnp.cumsum(counts_t.T.reshape(-1))  # q-major [M] inclusive
+    NW = Ni_pad // 32  # u32 words per query row
     targets = jnp.arange(1, P + 1, dtype=jnp.int32)
-    blk_of = jnp.searchsorted(bp, targets, side="left")
-    pvalid_slot = blk_of < M
-    blk_safe = jnp.minimum(blk_of, M - 1)
-    prev = jnp.where(blk_safe > 0, bp[jnp.maximum(blk_safe - 1, 0)], 0)
-    rank = targets - prev  # 1-based rank within the block
-    blk_q = blk_safe // M_lex
-    blk_lex = blk_safe % M_lex
-    flat_packed_t = packed_t.reshape(-1)  # [(Ni/8) * B] uint8, lex-major
-    byte_idx = (
-        blk_lex[:, None] * (BLK // 8)
-        + jnp.arange(BLK // 8, dtype=jnp.int32)[None, :]
-    ) * B + blk_q[:, None]
-    row_bytes = flat_packed_t[byte_idx].astype(jnp.int32)  # [P, 16]
-    # two-level rank: per-byte popcounts locate the byte, then unpack just
-    # that byte (6x cheaper than unpacking all 128 bits per slot)
-    v = row_bytes - ((row_bytes >> 1) & 0x55)
-    v = (v & 0x33) + ((v >> 2) & 0x33)
-    pc = (v + (v >> 4)) & 0x0F  # popcount [P, 16]
-    within16 = jnp.cumsum(pc, axis=1)
-    byte_pos = jnp.sum(within16 < rank[:, None], axis=1).astype(jnp.int32)
-    byte_pos = jnp.minimum(byte_pos, BLK // 8 - 1)
+
+    qcum = jnp.cumsum(nmatch.astype(jnp.int32))  # [B] inclusive
+    # q_of[p] = #{q : qcum[q] < t[p]} == searchsorted(qcum, t, 'left'),
+    # computed as a streaming reduction instead of dependent gather rounds
+    q_of = jnp.sum(
+        (qcum[None, :] < targets[:, None]).astype(jnp.int32), axis=1
+    )
+    pvalid_slot = q_of < B
+    q_safe = jnp.minimum(q_of, B - 1)
+    qexcl = qcum - nmatch.astype(jnp.int32)  # exclusive cumsum
+    r_q = targets - qexcl[q_safe]  # 1-based rank within the query
+
+    # block within the query: unrolled binary search over the query's
+    # inclusive block cumsum (first index with bpq >= r)
+    counts_q = counts_t.T  # [B, M_lex]
+    bpq = jnp.cumsum(counts_q, axis=1).reshape(-1)  # [B*M_lex]
+    base_q = q_safe * M_lex
+    step = 1
+    while step < M_lex:
+        step <<= 1
+    blk = jnp.zeros_like(q_safe)
+    while step:
+        nxt = blk + step
+        ok = (nxt <= M_lex) & (bpq[base_q + jnp.minimum(nxt, M_lex) - 1] < r_q)
+        blk = jnp.where(ok, nxt, blk)
+        step >>= 1
+    blk_lex = jnp.minimum(blk, M_lex - 1)
+    prev = jnp.where(blk_lex > 0, bpq[base_q + jnp.maximum(blk_lex - 1, 0)], 0)
+    rank = r_q - prev  # 1-based rank within the block
+
+    # q-major u32 mask words: byte j of a u32 holds candidates 8j..8j+7
+    # (little-endian bitcast), so bit k of word w is candidate w*32+k —
+    # the same candidate order the lex-major byte layout encodes
+    packed_q = jax.lax.bitcast_convert_type(
+        packed_t.T.reshape(B, NW, 4), jnp.uint32
+    ).reshape(-1)  # [B*NW]
+    word_idx = (
+        q_safe[:, None] * NW
+        + blk_lex[:, None] * WPB
+        + jnp.arange(WPB, dtype=jnp.int32)[None, :]
+    )
+    row_words = packed_q[word_idx]  # [P, 4] u32, contiguous 16B per slot
+    pcnt = jax.lax.population_count(row_words).astype(jnp.int32)
+    within4 = jnp.cumsum(pcnt, axis=1)
+    word_pos = jnp.sum(within4 < rank[:, None], axis=1).astype(jnp.int32)
+    word_pos = jnp.minimum(word_pos, WPB - 1)
     base = jnp.where(
-        byte_pos > 0,
+        word_pos > 0,
         jnp.take_along_axis(
-            within16, jnp.maximum(byte_pos - 1, 0)[:, None], axis=1
+            within4, jnp.maximum(word_pos - 1, 0)[:, None], axis=1
         )[:, 0],
         0,
     )
-    chosen = jnp.take_along_axis(row_bytes, byte_pos[:, None], axis=1)[:, 0]
-    rank_in_byte = rank - base
-    bits8 = (chosen[:, None] >> jnp.arange(8, dtype=jnp.int32)) & 1
-    within8 = jnp.cumsum(bits8, axis=1)
-    bit_pos = jnp.sum(within8 < rank_in_byte[:, None], axis=1).astype(jnp.int32)
-    pos = byte_pos * 8 + bit_pos
+    chosen = jnp.take_along_axis(row_words, word_pos[:, None], axis=1)[:, 0]
+    rank_in_word = rank - base
+    bits32 = (
+        (chosen[:, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
+    ).astype(jnp.int32)
+    within32 = jnp.cumsum(bits32, axis=1)
+    bit_pos = jnp.sum(within32 < rank_in_word[:, None], axis=1).astype(jnp.int32)
+    pos = word_pos * 32 + bit_pos
     pair_flat = jnp.where(
-        pvalid_slot, blk_q * Ni_pad + blk_lex * BLK + pos, sentinel
+        pvalid_slot, q_safe * Ni_pad + blk_lex * BLK + pos, sentinel
     ).astype(jnp.int32)
 
     # ---------------- Stage B: scoring ----------------
