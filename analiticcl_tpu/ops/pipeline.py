@@ -598,12 +598,23 @@ class DevicePipeline:
         # batch-normalize every query in one native pass
         all_norms, all_lens = enc.normalize_batch_padded(list(inputs), L)
         active: List[int] = []
+        max_cand_len = int(self.model.index.max_norm_len)
         for i, text in enumerate(inputs):
             ln = int(all_lens[i])
             if ln == 0:
                 results[i] = []
             elif ln > self.L:
-                results[i] = model._find_variants_oracle(text, params)
+                # query longer than any index entry: DL >= length difference,
+                # so if that exceeds the edit threshold the result is provably
+                # empty (common for ngram segments in search mode); otherwise
+                # fall back to the exact host path for this rare query
+                k_ed_i = params.max_edit_distance.resolve(
+                    ln, _MAX_EDIT_DISTANCE
+                )
+                if ln - max_cand_len > k_ed_i:
+                    results[i] = []
+                else:
+                    results[i] = model._find_variants_oracle(text, params)
             else:
                 active.append(i)
         if not active:
