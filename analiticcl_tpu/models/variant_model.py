@@ -759,7 +759,16 @@ class VariantModel:
         q = self.enc.count_vector(input_text)
         k_ana, k_ed = self._resolve_distances(len(normstring), params)
 
-        d = np.abs(index.counts.astype(np.int32) - q.astype(np.int32)).sum(axis=1)
+        # exact pre-filter: DL >= |len(a)-len(b)| (indels change length by 1,
+        # substitutions/transpositions preserve it), so candidates outside the
+        # +-k_ed length band can never reach the result set — this makes the
+        # long-query fallback O(band) instead of O(lexicon)
+        band = np.nonzero(
+            np.abs(index.norm_lens.astype(np.int32) - len(normstring)) <= k_ed
+        )[0]
+        d = np.abs(
+            index.counts[band].astype(np.int32) - q.astype(np.int32)
+        ).sum(axis=1)
         if (
             params.stop_criterion is StopCriterion.STOP_AT_EXACT_MATCH
             and (d == 0).any()
@@ -767,7 +776,7 @@ class VariantModel:
             mask = d == 0
         else:
             mask = d <= k_ana
-        rows = np.nonzero(mask)[0]  # canonical order preserved
+        rows = band[np.nonzero(mask)[0]]  # canonical order preserved
 
         instances: List[Tuple[VocabId, Distance]] = []
         q_first_lower = input_text[:1].islower() if input_text else False
@@ -1207,31 +1216,33 @@ class VariantModel:
                 begin = boundary.offset.end
                 begin_index = i + 1
 
-        # per order: gather segments over all hard batches, one device batch
-        # (replaces the reference's per-segment rayon lookups)
+        # gather segments of ALL orders over all hard batches into ONE device
+        # pass (replaces the reference's per-segment rayon lookups). The
+        # redundancy filter (search.rs:317-336) only consults order-1 results
+        # and only gates whether a higher-order segment's variants are
+        # *attached*, so lookups are issued speculatively and the filter is
+        # applied afterwards — trading a few wasted candidate lookups for a
+        # single batched round trip instead of one per ngram order.
         batch_matches: List[List[Match]] = [[] for _ in hard_batches]
+        per_order: List[List[Tuple[int, Match]]] = []
+        uniq: Dict[str, int] = {}
+        all_texts: List[str] = []
         for order in range(1, params.max_ngram + 1):
             pending: List[Tuple[int, Match]] = []
-            needs_lookup: List[Match] = []
             for bi, (bbegin, bend, bslice, _btext) in enumerate(hard_batches):
                 for segment in find_match_ngrams(text, bslice, order, bbegin, bend):
                     pending.append((bi, segment))
-                    # for higher orders, skip lookups for redundant matches
-                    # (unigrams already perfect, search.rs:317-336)
-                    if order == 1 or not redundant_match(segment, batch_matches[bi]):
-                        needs_lookup.append(segment)
-            if needs_lookup:
-                # deduplicate identical segment texts into one device pass
-                uniq: Dict[str, int] = {}
-                order_texts: List[str] = []
-                for seg in needs_lookup:
-                    if seg.text not in uniq:
-                        uniq[seg.text] = len(order_texts)
-                        order_texts.append(seg.text)
-                found = self.find_variants_batch(order_texts, params)
-                for seg in needs_lookup:
-                    seg.variants = list(found[uniq[seg.text]])
+                    if segment.text not in uniq:
+                        uniq[segment.text] = len(all_texts)
+                        all_texts.append(segment.text)
+            per_order.append(pending)
+        found = self.find_variants_batch(all_texts, params) if all_texts else []
+        for order_idx, pending in enumerate(per_order):
             for bi, seg in pending:
+                if order_idx == 0 or not redundant_match(
+                    seg, batch_matches[bi]
+                ):
+                    seg.variants = list(found[uniq[seg.text]])
                 batch_matches[bi].append(seg)
 
         # consolidate per hard batch
