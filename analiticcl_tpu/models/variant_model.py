@@ -983,15 +983,28 @@ class VariantModel:
     def rescore_confusables(
         self, results: List[VariantResult], input_text: str
     ) -> None:
-        """Multiply in confusable weights (lib.rs:1656-1663). Edit scripts
-        for all candidates compute in one native batch call when possible."""
+        """Multiply in confusable weights (lib.rs:1656-1663). The full match —
+        edit scripts plus confusable pattern scan — runs in one native call
+        when the C++ library is available (cross-validated against the Python
+        path by tests); otherwise falls back to batched native edit scripts
+        with Python matching, then to pure Python."""
         if not results:
             return
+        texts = [self.decoder[r.vocab_id].text for r in results]
+        nc = self._native_confusables()
+        if nc is not None:
+            try:
+                weights = nc.weights_batch(input_text, texts)
+            except Exception:
+                weights = None
+            if weights is not None:
+                for result, w in zip(results, weights):
+                    result.dist_score *= float(w)
+                return
         try:
             from ..utils.native import edit_scripts_batch
             from ..editscript import Instruction, Op
 
-            texts = [self.decoder[r.vocab_id].text for r in results]
             scripts = edit_scripts_batch(input_text, texts)
         except Exception:
             scripts = None
@@ -1008,6 +1021,23 @@ class VariantModel:
             result.dist_score *= self.compute_confusable_weight(
                 input_text, result.vocab_id
             )
+
+    def _native_confusables(self):
+        """Compiled native confusable set, rebuilt when the list changes."""
+        key = tuple(map(id, self.confusables))
+        cached = getattr(self, "_native_conf_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        nc = None
+        if self.confusables:
+            try:
+                from ..utils.native import NativeConfusables
+
+                nc = NativeConfusables(self.confusables)
+            except Exception:
+                nc = None
+        self._native_conf_cache = (key, nc)
+        return nc
 
     def compute_confusable_weight(self, input_text: str, candidate: VocabId) -> float:
         """Product of weights of confusables matching the edit script between

@@ -108,6 +108,22 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.ananorm_confusables_build.restype = ctypes.c_void_p
+        lib.ananorm_confusables_build.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+        ]
+        lib.ananorm_confusables_free.argtypes = [ctypes.c_void_p]
+        lib.ananorm_confusable_weights.restype = ctypes.c_int64
+        lib.ananorm_confusable_weights.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double),
+        ]
         _lib = lib
         return _lib
 
@@ -315,3 +331,70 @@ def edit_scripts_batch(a: str, bs: "Sequence[str]"):
         _decode_script(raw[out_offs[k] : out_offs[k + 1]])
         for k in range(len(bs))
     ]
+
+
+class NativeConfusables:
+    """A confusable set compiled into the native matcher (confusables.rs
+    semantics; see ananorm.cpp). Weights for one input against a batch of
+    candidate texts compute in a single call, edit scripts included."""
+
+    def __init__(self, confusables) -> None:
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        import struct
+
+        parts = [struct.pack("<I", len(confusables))]
+        for conf in confusables:
+            parts.append(
+                struct.pack(
+                    "<dBBI",
+                    conf.weight,
+                    1 if conf.strictbegin else 0,
+                    1 if conf.strictend else 0,
+                    len(conf.editscript),
+                )
+            )
+            for ins in conf.editscript:
+                options = ins.text if ins.is_options else (ins.text,)
+                parts.append(
+                    struct.pack("<cI", ins.op.value.encode(), len(options))
+                )
+                for opt in options:
+                    ob = opt.encode("utf-8")
+                    parts.append(struct.pack("<I", len(ob)) + ob)
+        blob = b"".join(parts)
+        self._lib = lib
+        self._handle = lib.ananorm_confusables_build(blob, len(blob))
+
+    def __del__(self):  # pragma: no cover - interpreter shutdown ordering
+        try:
+            if self._handle:
+                self._lib.ananorm_confusables_free(self._handle)
+        except Exception:
+            pass
+
+    def weights_batch(self, a: str, bs: "Sequence[str]") -> "np.ndarray":
+        """Product of matching confusable weights for each edit script
+        a -> bs[k]."""
+        ab = a.encode("utf-8")
+        enc = [b.encode("utf-8") for b in bs]
+        blob = b"".join(enc)
+        offs = np.zeros(len(bs) + 1, dtype=np.int64)
+        np.cumsum(
+            np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc)),
+            out=offs[1:],
+        )
+        out = np.ones(len(bs), dtype=np.float64)
+        r = self._lib.ananorm_confusable_weights(
+            self._handle,
+            ab,
+            len(ab),
+            blob,
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(bs),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        if r < 0:
+            raise RuntimeError("confusable weight computation failed")
+        return out

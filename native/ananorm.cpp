@@ -335,4 +335,178 @@ int64_t ananorm_edit_script_batch(const char* a, int64_t an, const char* bs,
     return pos;
 }
 
+// --------------------------------------------------------------------------
+// Confusable matching against edit scripts (mirrors confusables.rs:47-128 /
+// analiticcl_tpu/confusables.py). A confusable set is compiled once from a
+// flat blob; weights for a batch of candidates compute in one call.
+// Blob layout (little-endian):
+//   u32 n_confusables
+//   per confusable: f64 weight, u8 strictbegin, u8 strictend, u32 n_instr,
+//     per instruction: u8 op ('='/'+'/'-'), u32 n_options,
+//       per option: u32 len, bytes
+// --------------------------------------------------------------------------
+
+namespace {
+
+struct ConfInstr {
+    char op;
+    std::vector<std::string> options;
+};
+
+struct Conf {
+    double weight;
+    bool strictbegin, strictend;
+    std::vector<ConfInstr> instr;
+};
+
+struct ConfSet {
+    std::vector<Conf> confusables;
+};
+
+struct Run {
+    char op;
+    const char* text;
+    int64_t len;
+};
+
+static bool ends_with(const char* s, int64_t n, const std::string& t) {
+    return (int64_t)t.size() <= n &&
+           memcmp(s + n - t.size(), t.data(), t.size()) == 0;
+}
+
+static bool starts_with(const char* s, int64_t n, const std::string& t) {
+    return (int64_t)t.size() <= n && memcmp(s, t.data(), t.size()) == 0;
+}
+
+static bool equals(const char* s, int64_t n, const std::string& t) {
+    return (int64_t)t.size() == n && memcmp(s, t.data(), t.size()) == 0;
+}
+
+static bool instruction_matches(const ConfInstr& ins, const Run& ref,
+                                size_t matches, size_t l) {
+    if ((ins.op == '+' || ins.op == '-') && ref.op == ins.op) {
+        for (const auto& s : ins.options)
+            if (ends_with(ref.text, ref.len, s)) return true;
+        return false;
+    }
+    if (ins.op == '=' && ref.op == '=') {
+        for (const auto& s : ins.options) {
+            if (matches == 0 && matches == l - 1) {
+                if (equals(ref.text, ref.len, s)) return true;
+            } else if (matches == 0) {
+                if (ends_with(ref.text, ref.len, s)) return true;
+            } else if (matches == l - 1) {
+                if (starts_with(ref.text, ref.len, s)) return true;
+            } else if (equals(ref.text, ref.len, s)) {
+                return true;
+            }
+        }
+        return false;
+    }
+    return false;
+}
+
+static bool found_in(const Conf& c, const std::vector<Run>& runs) {
+    size_t l = c.instr.size();
+    size_t matches = 0;
+    for (size_t i = 0; i < runs.size(); i++) {
+        if (matches >= l) break;
+        if (!instruction_matches(c.instr[matches], runs[i], matches, l)) {
+            matches = 0;
+            if (c.strictbegin) return false;
+            continue;
+        }
+        matches++;
+        if (matches == l) {
+            if (c.strictend) return i == runs.size() - 1;
+            return true;
+        }
+    }
+    return false;
+}
+
+static void decode_runs(const char* data, int64_t n, std::vector<Run>& runs) {
+    runs.clear();
+    int64_t i = 0;
+    while (i < n) {
+        char op = data[i++];
+        uint64_t len = 0;
+        int shift = 0;
+        while (true) {
+            unsigned char b = (unsigned char)data[i++];
+            len |= (uint64_t)(b & 0x7F) << shift;
+            if (b < 0x80) break;
+            shift += 7;
+        }
+        runs.push_back({op, data + i, (int64_t)len});
+        i += (int64_t)len;
+    }
+}
+
+}  // namespace
+
+void* ananorm_confusables_build(const char* blob, int64_t n) {
+    const unsigned char* p = (const unsigned char*)blob;
+    const unsigned char* end = p + n;
+    auto rd_u32 = [&]() {
+        uint32_t v;
+        memcpy(&v, p, 4);
+        p += 4;
+        return v;
+    };
+    ConfSet* set = new ConfSet();
+    uint32_t nc = rd_u32();
+    set->confusables.reserve(nc);
+    for (uint32_t c = 0; c < nc && p < end; c++) {
+        Conf conf;
+        memcpy(&conf.weight, p, 8);
+        p += 8;
+        conf.strictbegin = *p++ != 0;
+        conf.strictend = *p++ != 0;
+        uint32_t ni = rd_u32();
+        conf.instr.reserve(ni);
+        for (uint32_t k = 0; k < ni; k++) {
+            ConfInstr ins;
+            ins.op = (char)*p++;
+            uint32_t no = rd_u32();
+            for (uint32_t o = 0; o < no; o++) {
+                uint32_t len = rd_u32();
+                ins.options.emplace_back((const char*)p, len);
+                p += len;
+            }
+            conf.instr.push_back(std::move(ins));
+        }
+        set->confusables.push_back(std::move(conf));
+    }
+    return set;
+}
+
+void ananorm_confusables_free(void* handle) {
+    delete (ConfSet*)handle;
+}
+
+// Weights for one input against n_b candidates: computes each edit script
+// natively and multiplies the weights of matching confusables.
+int64_t ananorm_confusable_weights(void* handle, const char* a, int64_t an,
+                                   const char* bs, const int64_t* bo,
+                                   int32_t n_b, double* out_weights) {
+    ConfSet* set = (ConfSet*)handle;
+    std::vector<char> buf;
+    std::vector<Run> runs;
+    for (int32_t k = 0; k < n_b; k++) {
+        int64_t bn = bo[k + 1] - bo[k];
+        int64_t cap = 2 * (an + bn) + 64;
+        if ((int64_t)buf.size() < cap) buf.resize(cap);
+        int64_t r = ananorm_edit_script(a, an, bs + bo[k], bn, buf.data(),
+                                        (int64_t)buf.size());
+        if (r < 0) return -1;
+        decode_runs(buf.data(), r, runs);
+        double w = 1.0;
+        for (const auto& c : set->confusables)
+            if (found_in(c, runs)) w *= c.weight;
+        out_weights[k] = w;
+    }
+    return 0;
+}
+
 }  // extern "C"

@@ -194,3 +194,52 @@ def test_stop_at_exact_match():
     # only anagrams of "rites" are considered
     assert set(texts(model, results)) <= {"rites", "tiers", "tires", "tries"}
     assert model.decoder[results[0].vocab_id].text == "rites"
+
+
+def test_native_confusables_parity():
+    """The C++ confusable matcher must agree with the Python path on random
+    patterns and candidate pairs (same edit scripts, same match semantics)."""
+    import random
+
+    import pytest
+
+    from analiticcl_tpu.confusables import Confusable
+    from analiticcl_tpu.editscript import shortest_edit_script
+    from analiticcl_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    rng = random.Random(11)
+    alpha = "abcdef"
+
+    def rand_word():
+        return "".join(rng.choice(alpha) for _ in range(rng.randint(1, 9)))
+
+    def rand_pattern():
+        ops = []
+        for _ in range(rng.randint(1, 3)):
+            op = rng.choice("=+-")
+            if rng.random() < 0.3:
+                opts = "|".join(rand_word()[:2] for _ in range(2))
+                ops.append(f"{op}[{opts}]")
+            else:
+                ops.append(f"{op}[{rand_word()[:3]}]")
+        pat = "".join(ops)
+        if rng.random() < 0.3:
+            pat = "^" + pat
+        if rng.random() < 0.3:
+            pat = pat + "$"
+        return pat
+
+    confs = [Confusable.new(rand_pattern(), 1.0 + rng.random()) for _ in range(12)]
+    nc = native.NativeConfusables(confs)
+    for _ in range(300):
+        a, b = rand_word(), rand_word()
+        w_native = float(nc.weights_batch(a, [b])[0])
+        script = shortest_edit_script(a, b)
+        w_py = 1.0
+        for c in confs:
+            if c.found_in(script):
+                w_py *= c.weight
+        assert abs(w_native - w_py) < 1e-12, (a, b, w_native, w_py)
