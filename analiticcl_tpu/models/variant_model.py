@@ -567,20 +567,21 @@ class VariantModel:
             norms = np.ascontiguousarray(norms_all[order], dtype=np.int32)
             norm_lens = np.minimum(lens_all[order], max_norm_len).astype(np.int32)
             charcounts = counts.sum(axis=1, dtype=np.int32)
+            # one sequential decoder pass + vectorized re-index (avoids per-row
+            # random decoder access with int conversions)
             decoder = self.decoder
-            freqs = np.fromiter(
-                (decoder[v].frequency for v in vocab_ids),
+            dec_freq = np.fromiter(
+                (e.frequency for e in decoder),
                 dtype=np.float64,
-                count=len(vocab_ids),
+                count=len(decoder),
             )
-            first_lower = np.fromiter(
-                (
-                    decoder[v].text[:1].islower() if decoder[v].text else False
-                    for v in vocab_ids
-                ),
+            dec_fl = np.fromiter(
+                (e.text[:1].islower() if e.text else False for e in decoder),
                 dtype=bool,
-                count=len(vocab_ids),
+                count=len(decoder),
             )
+            freqs = dec_freq[vocab_ids]
+            first_lower = dec_fl[vocab_ids]
             # group boundaries: runs of identical count vectors in sorted order
             n = len(vocab_ids)
             boundary = np.ones(n, dtype=bool)

@@ -485,35 +485,35 @@ class DevicePipeline:
         self.Ni_pad = Ni_pad
         pad = Ni_pad - self.Ni
 
+        # padded arrays are filled into preallocated buffers: one pass each
+        # instead of reshape+pad+astype copy chains (learn mode rebuilds this
+        # on every iteration, so construction cost is throughput)
         t_levels = np.arange(self.T, dtype=np.int32)[None, None, :]
-        bins = (counts[:, :, None] > t_levels).reshape(self.Ni, self.A * self.T)
-        bins = np.pad(bins, ((0, pad), (0, 0))).astype(np.int8)
-        cc = np.pad(index.charcounts, (0, pad), constant_values=BIG_L1)
-        norms2 = np.concatenate(
-            [
-                np.pad(
-                    index.norms.astype(np.int32),
-                    ((0, pad), (0, self.L - index.norms.shape[1])),
-                ),
-                np.pad(
-                    index.norms_reversed(),
-                    ((0, pad), (0, self.L - index.norms.shape[1])),
-                ),
-            ],
-            axis=1,
+        bins = np.zeros((Ni_pad, self.A * self.T), dtype=np.int8)
+        bins[: self.Ni] = (counts[:, :, None] > t_levels).reshape(
+            self.Ni, self.A * self.T
         )
-        norm_lens = np.pad(index.norm_lens, (0, pad))
-        freqs = np.pad(index.freqs.astype(np.float32), (0, pad))
-        first_lower = np.pad(index.first_lower, (0, pad))
+        cc = np.full(Ni_pad, BIG_L1, dtype=np.int32)
+        cc[: self.Ni] = index.charcounts
+        wn = index.norms.shape[1]
+        norms2 = np.zeros((Ni_pad, 2 * self.L), dtype=np.int32)
+        norms2[: self.Ni, :wn] = index.norms
+        norms2[: self.Ni, self.L : self.L + wn] = index.norms_reversed()
+        norm_lens = np.zeros(Ni_pad, dtype=np.int32)
+        norm_lens[: self.Ni] = index.norm_lens
+        freqs = np.zeros(Ni_pad, dtype=np.float32)
+        freqs[: self.Ni] = index.freqs
+        first_lower = np.zeros(Ni_pad, dtype=bool)
+        first_lower[: self.Ni] = index.first_lower
 
         # index arrays as explicit jit arguments: executables shared across
         # models of identical shape, nothing constant-baked
         self._idx = (
             jnp.asarray(bins),
-            jnp.asarray(cc.astype(np.int32)),
+            jnp.asarray(cc),
             jnp.asarray(np.arange(Ni_pad) < self.Ni),
             jnp.asarray(norms2),
-            jnp.asarray(norm_lens.astype(np.int32)),
+            jnp.asarray(norm_lens),
             jnp.asarray(freqs),
             jnp.asarray(first_lower),
         )
@@ -527,13 +527,16 @@ class DevicePipeline:
             self._P = P_BUCKETS[0]
         self._P2 = P2_BUCKETS[1] if _use_pallas() else P2_BUCKETS[0]
         # rows whose vocab entries carry variant links need the exact object
-        # ranking tail (expansion); everything else takes the fast numpy tail
+        # ranking tail (expansion); everything else takes the fast numpy tail.
+        # One sequential pass over the decoder, then a vectorized re-index
+        # (much cheaper than random decoder access per index row)
         decoder = model.decoder
-        self._has_variants = np.fromiter(
-            (decoder[int(v)].variants is not None for v in index.vocab_ids),
+        dec_flags = np.fromiter(
+            (e.variants is not None for e in decoder),
             dtype=bool,
-            count=index.size,
+            count=len(decoder),
         )
+        self._has_variants = dec_flags[index.vocab_ids]
         from ..utils.profiling import StageTimer
 
         self.stats = StageTimer()
