@@ -146,14 +146,12 @@ def rank_fast_batch(
 
     final_mask = rank < end_per_seg[seg_sorted]
     rows = np.nonzero(final_mask)[0]
-    for p in rows:
-        g = seg_sorted[p]
-        out[g].append(
-            VariantResult(
-                vocab_id=int(vocab_ids[o_c[p]]),
-                dist_score=float(dist_scores[p]),
-                freq_score=float(freqn[p]),
-                via=None,
-            )
-        )
+    # bulk-extract fields once, then build result objects from Python scalars
+    # (per-row numpy scalar indexing costs ~10x more than tolist+zip)
+    segl = seg_sorted[rows].tolist()
+    vids = vocab_ids[o_c[rows]].tolist()
+    ds = dist_scores[rows].tolist()
+    fs = freqn[rows].tolist()
+    for g, v, dv, fv in zip(segl, vids, ds, fs):
+        out[g].append(VariantResult(v, dv, fv, None))
     return out

@@ -265,7 +265,7 @@ class VariantReference:
     score: float
 
 
-@dataclass
+@dataclass(slots=True)
 class VariantResult:
     """(vocab_id, dist_score, freq_score, via) result record.
 
