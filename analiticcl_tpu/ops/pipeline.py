@@ -260,9 +260,9 @@ def _query_core(
     # hit/exact masks arrive bit-packed with per-128-block counts, either from
     # the fused Pallas kernel (TPU) or the XLA fallback — never as a
     # materialized [B, Ni] distance matrix
-    from .stage_a import ROW_BLOCK, stage_a_masks_pallas, stage_a_masks_xla
+    from .stage_a import _row_block, stage_a_masks_pallas, stage_a_masks_xla
 
-    if _use_pallas() and Ni_pad % ROW_BLOCK == 0:
+    if _use_pallas() and Ni_pad % _row_block(B) == 0:
         packed_t, exact_t, counts_t, nmatch, nexact = stage_a_masks_pallas(
             bins, cc, qbin, q_cc, k_ana
         )

@@ -27,6 +27,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ROW_BLOCK = 1024  # lexicon rows per grid step
+B_TILE = 1024  # queries per grid step (second grid dim tiles wider batches)
+
+
+def _row_block(B: int) -> int:
+    """Rows per grid step. The kernel tiles the query dimension at B_TILE, so
+    the [RB, B_TILE] int32 intermediates stay inside scoped VMEM for any B."""
+    return ROW_BLOCK
 
 
 def _pack_bits_rows(mask_t: jnp.ndarray) -> jnp.ndarray:
@@ -38,18 +45,20 @@ def _pack_bits_rows(mask_t: jnp.ndarray) -> jnp.ndarray:
 
 
 def _stage_a_kernel(
-    qbin_ref,  # [B, AT] int8
-    q_cc_ref,  # [1, B] int32
-    k_ana_ref,  # [1, B] int32
+    qbin_ref,  # [BT, AT] int8
+    q_cc_ref,  # [1, BT] int32
+    k_ana_ref,  # [1, BT] int32
     bins_ref,  # [RB, AT] int8
     cc_ref,  # [RB, 1] int32
-    packed_ref,  # [RB/8, B] uint8
-    exact_ref,  # [RB/8, B] uint8
-    counts_ref,  # [RB/128, B] int32
-    nmatch_ref,  # [1, B] int32 (accumulated across grid)
-    nexact_ref,  # [1, B] int32 (accumulated)
+    packed_ref,  # [RB/8, BT] uint8
+    exact_ref,  # [RB/8, BT] uint8
+    counts_ref,  # [RB/128, BT] int32
+    nmatch_ref,  # [1, BT] int32 (accumulated across the lexicon grid dim)
+    nexact_ref,  # [1, BT] int32 (accumulated)
 ):
-    i = pl.program_id(0)
+    # grid is (query tiles, lexicon blocks) with the lexicon dim innermost so
+    # the per-query accumulators keep their block across the sweep
+    i = pl.program_id(1)
     dot = jax.lax.dot_general(
         bins_ref[...],
         qbin_ref[...],
@@ -82,32 +91,33 @@ def stage_a_masks_pallas(bins, cc, qbin, q_cc, k_ana):
     Padded lexicon rows must carry a huge cc so they never match."""
     Ni, AT = bins.shape
     B = qbin.shape[0]
-    assert Ni % ROW_BLOCK == 0
-    nblk = Ni // ROW_BLOCK
+    rb = _row_block(B)
+    bt = min(B, B_TILE)
+    assert Ni % rb == 0 and B % bt == 0
+    nblk = Ni // rb
+    nqt = B // bt
     out = pl.pallas_call(
         _stage_a_kernel,
-        grid=(nblk,),
+        grid=(nqt, nblk),
         in_specs=[
-            pl.BlockSpec((B, AT), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (ROW_BLOCK, AT), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((ROW_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, AT), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, AT), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec(
-                (ROW_BLOCK // 8, B), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (rb // 8, bt), lambda j, i: (i, j), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (ROW_BLOCK // 8, B), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (rb // 8, bt), lambda j, i: (i, j), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (ROW_BLOCK // 128, B), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (rb // 128, bt), lambda j, i: (i, j), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt), lambda j, i: (0, j), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Ni // 8, B), jnp.uint8),
