@@ -287,6 +287,9 @@ class VariantModel:
         ]
         return d
 
+    # public parity alias for the binding helper (lib.rs:554-586)
+    variantresult_to_dict = _variantresult_to_dict
+
     def find_variants(self, input: str, params: SearchParameters) -> List[Dict]:
         fw = params._p.freq_weight
         return [

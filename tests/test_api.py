@@ -99,3 +99,120 @@ def test_contains():
     model.build()
     assert "frog" in model
     assert "xyzzy" not in model
+
+
+def test_binding_surface_parity():
+    """Every method the reference PyO3 binding exposes must exist on our api
+    classes (bindings/python/src/lib.rs)."""
+    import re
+
+    import analiticcl_tpu.api as api
+
+    src = open("/root/reference/bindings/python/src/lib.rs").read()
+    names = set(re.findall(r"fn ([a-z_0-9]+)", src))
+    names -= {"analiticcl", "new", "extract_distance_threshold"}  # module/ctor/helper
+    missing = []
+    for name in sorted(names):
+        if name.startswith(("get_", "set_")):
+            attr = name[4:]
+            targets = (
+                api.Weights,
+                api.SearchParameters,
+                api.VocabParams,
+                api.VariantModel,
+            )
+            ok = any(
+                hasattr(t, attr)
+                or hasattr(t, name)  # explicit getter/setter method
+                or attr in getattr(t, "_FIELDS", ())
+                for t in targets
+            )
+            # kwargs/attribute-style delegation: instantiating and touching
+            # the attribute is the real check
+            if not ok:
+                for t in (api.Weights(), api.SearchParameters(), api.VocabParams()):
+                    try:
+                        getattr(t, attr)
+                        ok = True
+                        break
+                    except AttributeError:
+                        continue
+            if not ok and attr in ("stop_at_exact_match", "confusables_before_pruning"):
+                ok = hasattr(api.SearchParameters(), attr)
+            if not ok:
+                missing.append(name)
+        else:
+            if not (
+                hasattr(api.VariantModel, name)
+                or hasattr(api.SearchParameters, name)
+                or hasattr(api.Weights, name)
+            ):
+                missing.append(name)
+    assert not missing, f"binding surface gaps: {missing}"
+
+
+def test_search_mode_backend_parity_fuzz():
+    """find_all_matches must be identical between the device (JAX) and oracle
+    backends on randomized lexicons, LMs, and texts."""
+    import random
+
+    from analiticcl_tpu.models.variant_model import VariantModel
+    from analiticcl_tpu.types import (
+        DistanceThreshold,
+        SearchParameters,
+        Weights,
+    )
+    from analiticcl_tpu.vocab import VocabParams, VocabType
+
+    for seed in range(4):
+        rng = random.Random(seed + 100)
+        alpha = "abcdefghij"
+        alphabet = [[c, c.upper()] for c in alpha]
+        model = VariantModel(alphabet=alphabet, weights=Weights())
+        words = []
+        for _ in range(rng.randint(40, 200)):
+            w = "".join(rng.choice(alpha) for _ in range(rng.randint(2, 9)))
+            words.append(w)
+            model.add_to_vocabulary(w, rng.randint(1, 50), VocabParams())
+        lm = VocabParams(vocab_type=VocabType.LM)
+        for _ in range(rng.randint(0, 12)):
+            a, b = rng.choice(words), rng.choice(words)
+            model.add_to_vocabulary(f"{a} {b}", rng.randint(1, 5), lm)
+        model.build()
+
+        def corrupt(w):
+            if len(w) < 3:
+                return w
+            i = rng.randrange(len(w) - 1)
+            return w[:i] + w[i + 1] + w[i] + w[i + 2:]
+
+        sents = []
+        for _ in range(6):
+            sents.append(
+                " ".join(corrupt(rng.choice(words)) for _ in range(rng.randint(3, 10)))
+                + rng.choice([".", "!", ""])
+            )
+        text = "\n".join(sents)
+        params = SearchParameters(
+            max_anagram_distance=DistanceThreshold.absolute(2),
+            max_edit_distance=DistanceThreshold.absolute(2),
+            max_matches=5,
+            max_ngram=rng.choice([1, 2]),
+            lm_weight=rng.choice([0.0, 1.0]),
+        )
+
+        def snap(model, matches):
+            out = []
+            for m in matches:
+                var = None
+                if m.selected is not None and m.variants:
+                    r = m.variants[m.selected]
+                    var = (model.decoder[r.vocab_id].text, round(r.dist_score, 12))
+                out.append((m.text, m.offset.begin, m.offset.end, var))
+            return out
+
+        model.set_backend("oracle")
+        want = snap(model, model.find_all_matches(text, params))
+        model.set_backend("device")
+        got = snap(model, model.find_all_matches(text, params))
+        assert got == want, (seed, text)
