@@ -56,13 +56,26 @@ import jax
 import jax.numpy as jnp
 
 # Persistent compilation cache: kernel compiles for remote-attached TPUs run
-# tens of seconds; cache them across processes.
+# tens of seconds; cache them across processes. CPU AOT artifacts don't port
+# across host machine types (the loader warns about SIGILL risk when machine
+# features differ), so the cache directory is keyed by the CPU feature set.
 if jax.config.jax_compilation_cache_dir is None:
+    import hashlib as _hashlib
     import os as _os
 
+    _feat = ""
+    try:
+        with open("/proc/cpuinfo") as _f:
+            for _line in _f:
+                if _line.startswith("flags"):
+                    _feat = _line
+                    break
+    except OSError:
+        pass
+    _tag = _hashlib.sha256(_feat.encode()).hexdigest()[:8]
     jax.config.update(
         "jax_compilation_cache_dir",
-        _os.path.expanduser("~/.cache/jax_analiticcl"),
+        _os.path.expanduser(f"~/.cache/jax_analiticcl_{_tag}"),
     )
 
 from .dl_jax import PAD_A, PAD_B, affix_metrics_aligned, dl_metrics_windowed
