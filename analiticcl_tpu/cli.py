@@ -28,10 +28,21 @@ MAX_BATCHSIZE_SEARCH = 100
 
 
 def _fmt_float(x: float) -> str:
-    """Rust-style float Display: minimal digits, integers without '.0'."""
+    """Rust-style float Display: shortest round-trip digits, integers without
+    '.0', and NEVER scientific notation (Rust's `{}` always prints plain
+    decimal; Python's repr switches to exponents below 1e-4 / at 1e16)."""
+    if x != x:
+        return "NaN"
+    if x in (float("inf"), float("-inf")):
+        return "inf" if x > 0 else "-inf"
     if x == int(x) and abs(x) < 1e16:
         return str(int(x))
-    return repr(x)
+    s = repr(x)
+    if "e" not in s and "E" not in s:
+        return s
+    from decimal import Decimal
+
+    return format(Decimal(s), "f")
 
 
 class _ResourceAction(argparse.Action):

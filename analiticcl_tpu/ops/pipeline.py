@@ -104,7 +104,7 @@ THRESHOLD_SLACK = 1e-4
 # static shape buckets
 B_BUCKETS = (8, 64, 256, 1024)
 P_BUCKETS = (2048, 8192, 32768, 131072, 524288)  # candidate-pair budget
-P2_BUCKETS = (2048, 16384, 131072)  # surviving-pair budget
+P2_BUCKETS = (2048, 16384, 65536, 131072)  # surviving-pair budget
 WINDOW_BUCKETS = (3, 12)  # DL exactness windows (12 = reference MAX_EDIT_DISTANCE)
 DL_CHUNK = 16384
 

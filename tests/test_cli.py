@@ -143,3 +143,29 @@ def test_import_analiticcl_shim():
     )
     assert proc.returncode == 0, proc.stderr[-1000:]
     assert "shim ok" in proc.stdout
+
+
+def test_fmt_float_rust_display_semantics():
+    """Rust's `{}` f64 Display: shortest round-trip digits, plain decimal
+    (never scientific), integers without '.0' (bin emitters rely on this for
+    byte-exact TSV/JSON parity)."""
+    from analiticcl_tpu.cli import _fmt_float
+
+    cases = [
+        (1.0, "1"),
+        (0.0, "0"),
+        (0.734375, "0.734375"),
+        (0.7083333333333334, "0.7083333333333334"),
+        (1e-05, "0.00001"),
+        (1.5e-07, "0.00000015"),
+        (1e-09, "0.000000001"),
+        (1e16, "10000000000000000"),
+        (1.23e17, "123000000000000000"),
+        (-0.5, "-0.5"),
+        (-1e-06, "-0.000001"),
+    ]
+    for x, want in cases:
+        got = _fmt_float(x)
+        assert got == want, (x, got, want)
+        # round-trip: the printed form must parse back to the same float
+        assert float(got) == x
