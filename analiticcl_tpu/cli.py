@@ -628,5 +628,15 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     return 0
 
 
+def _main_cli() -> int:
+    try:
+        return main()
+    except FileNotFoundError as e:
+        print(f"ERROR: file not found: {e.filename or e}", file=sys.stderr)
+        return 2
+    except BrokenPipeError:
+        return 0
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(_main_cli())
