@@ -574,13 +574,15 @@ class DevicePipeline:
         self, inputs: Sequence[str], params: SearchParameters
     ) -> List[List[VariantResult]]:
         if len(inputs) > B_BUCKETS[-1]:
+            # pipeline oversized batches through the depth-2 stream instead
+            # of running the sub-batches serially
             out: List[List[VariantResult]] = []
-            for start in range(0, len(inputs), B_BUCKETS[-1]):
-                out.extend(
-                    self.find_variants_batch(
-                        inputs[start : start + B_BUCKETS[-1]], params
-                    )
-                )
+            sub = [
+                inputs[start : start + B_BUCKETS[-1]]
+                for start in range(0, len(inputs), B_BUCKETS[-1])
+            ]
+            for res in self.find_variants_stream(sub, params):
+                out.extend(res)
             return out
         return self.collect(self.submit(inputs, params))
 
