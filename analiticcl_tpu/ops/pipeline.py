@@ -247,7 +247,7 @@ def _query_core(
     validrows,  # bool [Ni_pad]
     norms2,  # int32 [Ni_pad, 2L]: forward norms | reversed left-aligned norms
     norm_lens,  # int32 [Ni_pad]
-    freqs,  # f32 [Ni_pad]
+    freqs,  # uint32 [Ni_pad] absolute frequencies
     first_lower,  # bool [Ni_pad]
     qbin,  # int8 [B, A*T]
     q_cc,  # int32 [B]
@@ -450,12 +450,16 @@ def _query_core(
     pair_exact_byte = exact_t.reshape(-1)[exact_byte_idx].astype(jnp.int32)
     pair_exact = ((pair_exact_byte >> (pair_cand % 8)) & 1) == 1
     pass_ed = pass_ed & (~use_exact[pq_safe] | pair_exact)
-    keep_strict = pass_ed & (score >= score_threshold)
     keep = pass_ed & (score >= score_threshold - THRESHOLD_SLACK)
 
-    freq = jnp.where(have_freq, cf, 1.0)
+    # frequency normalization max runs over ALL scored instances (ld within
+    # threshold), including ones below the score threshold — the reference
+    # updates max_freq before the threshold push (lib.rs:1455-1476). Exact
+    # uint32 arithmetic: this max is load-bearing for every query's
+    # freq_score, and f32 would round frequencies above 2^24.
+    freq = jnp.where(have_freq, cf, jnp.uint32(1))
     max_freq = jax.ops.segment_max(
-        jnp.where(keep_strict, freq, 0.0), pq, num_segments=B + 1
+        jnp.where(pass_ed, freq, jnp.uint32(0)), pq, num_segments=B + 1
     )[:B]
     n_keep = jax.ops.segment_sum(keep.astype(jnp.int32), pq, num_segments=B + 1)[:B]
     total_keep = n_keep.sum()
@@ -514,8 +518,8 @@ class DevicePipeline:
         norms2[: self.Ni, self.L : self.L + wn] = index.norms_reversed()
         norm_lens = np.zeros(Ni_pad, dtype=np.int32)
         norm_lens[: self.Ni] = index.norm_lens
-        freqs = np.zeros(Ni_pad, dtype=np.float32)
-        freqs[: self.Ni] = index.freqs
+        freqs = np.zeros(Ni_pad, dtype=np.uint32)
+        freqs[: self.Ni] = index.freqs.astype(np.uint32)
         first_lower = np.zeros(Ni_pad, dtype=bool)
         first_lower[: self.Ni] = index.first_lower
 
@@ -803,10 +807,10 @@ class DevicePipeline:
 
         fast_ok = not model.confusables and getattr(model, "fast_tail", True)
         nrows = len(active)
-        seg_counts = bounds[1:] - bounds[:-1]
-        floors = np.where(
-            n_keep[:B] > seg_counts, max_freq[:B].astype(np.float64), 0.0
-        )
+        # the device max runs over ALL scored instances (incl. below the score
+        # threshold, which never reach the host) — it IS the reference's
+        # normalization max, so it is always the floor (lib.rs:1455-1476)
+        floors = max_freq[:B].astype(np.float64)
         if fast_ok:
             # rows whose pairs contain an expandable variant fall back to the
             # object path; everything else ranks in one whole-batch pass

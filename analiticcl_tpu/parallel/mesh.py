@@ -105,7 +105,7 @@ class ShardedPipeline(DevicePipeline):
             axis=1,
         )
         norm_lens = np.pad(index.norm_lens, (0, pad)).astype(np.int32)
-        freqs = np.pad(index.freqs.astype(np.float32), (0, pad))
+        freqs = np.pad(index.freqs.astype(np.uint32), (0, pad))
         first_lower = np.pad(index.first_lower, (0, pad))
         validrows = np.arange(Ni_pad) < self.Ni
 

@@ -32,7 +32,7 @@ def _random_word(rng, alpha):
     return "".join(rng.choice(alpha) for _ in range(rng.randint(1, 12)))
 
 
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", range(16))
 def test_fuzz_device_oracle_parity(seed):
     rng = random.Random(seed)
     # random small alphabet (sometimes with multichar elements and case folds)
