@@ -93,6 +93,10 @@ def test_fuzz_device_oracle_parity(seed):
     queries = [_random_word(rng, alpha + alpha.upper()) for _ in range(24)]
     # include exact lexicon hits and empty-ish cases
     queries += [model.decoder[i].text for i in range(3, min(8, len(model.decoder)))]
+    # and queries with out-of-alphabet characters (UNK class handling)
+    queries += [
+        _random_word(rng, alpha + "09!€?汉") for _ in range(6)
+    ] + ["??", ""]
 
     model.set_backend("oracle")
     want = [model.find_variants(q, params) for q in queries]
