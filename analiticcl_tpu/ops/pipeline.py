@@ -290,7 +290,6 @@ def _query_core(
     n_match = jnp.where(use_exact, nexact, nmatch)
     total_match = nmatch.sum()
 
-    sentinel = jnp.int32(B * Ni_pad)
     # hierarchical compaction over block counts. Stage-A outputs are
     # lexicon-major ([Ni/8, B] etc.); everything below runs in the q-major
     # flat (query, candidate) order the pair list uses.
@@ -369,14 +368,13 @@ def _query_core(
     within32 = jnp.cumsum(bits32, axis=1)
     bit_pos = jnp.sum(within32 < rank_in_word[:, None], axis=1).astype(jnp.int32)
     pos = word_pos * 32 + bit_pos
-    pair_flat = jnp.where(
-        pvalid_slot, q_safe * Ni_pad + blk_lex * BLK + pos, sentinel
-    ).astype(jnp.int32)
 
     # ---------------- Stage B: scoring ----------------
-    pvalid = pair_flat < sentinel
-    pq = jnp.where(pvalid, pair_flat // Ni_pad, B)
-    pc = jnp.where(pvalid, pair_flat % Ni_pad, 0)
+    # pairs stay as separate (query, candidate) columns — a combined
+    # q*Ni_pad+c encoding would overflow int32 past ~2M lexicon rows
+    pvalid = pvalid_slot
+    pq = jnp.where(pvalid, q_safe, B)
+    pc = jnp.where(pvalid, blk_lex * BLK + pos, 0)
 
     cn2 = norms2[pc]  # [P, 2L]: one gather for forward + reversed
     cn = cn2[:, :L]
@@ -443,12 +441,11 @@ def _query_core(
 
     pass_ed = pvalid & (ld <= k_ed[pq_safe])
     # stop-at-exact restriction: drop non-exact pairs of queries with exacts
-    pair_cand = pair_flat % Ni_pad
     exact_byte_idx = jnp.minimum(
-        (pair_cand // 8) * B + pq_safe, Ni_pad // 8 * B - 1
+        (pc // 8) * B + pq_safe, Ni_pad // 8 * B - 1
     )
     pair_exact_byte = exact_t.reshape(-1)[exact_byte_idx].astype(jnp.int32)
-    pair_exact = ((pair_exact_byte >> (pair_cand % 8)) & 1) == 1
+    pair_exact = ((pair_exact_byte >> (pc % 8)) & 1) == 1
     pass_ed = pass_ed & (~use_exact[pq_safe] | pair_exact)
     keep = pass_ed & (score >= score_threshold - THRESHOLD_SLACK)
 
