@@ -108,3 +108,59 @@ def test_fuzz_device_oracle_parity(seed):
             q,
             params,
         )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_confusables_parity(seed):
+    """Device vs oracle with confusable lists active (exercises the object
+    ranking tail + native confusable matcher end to end)."""
+    import os
+    import tempfile
+
+    rng = random.Random(seed + 900)
+    letters = string.ascii_lowercase[: rng.randint(5, 10)]
+    alphabet = [[c, c.upper()] for c in letters]
+    model = VariantModel(alphabet=alphabet, weights=Weights())
+    words = []
+    for _ in range(rng.randint(80, 500)):
+        w = "".join(rng.choice(letters) for _ in range(rng.randint(2, 10)))
+        words.append(w)
+        model.add_to_vocabulary(w, rng.randint(1, 100), VocabParams())
+    model.have_freq = rng.random() < 0.5
+    cf = tempfile.NamedTemporaryFile("w", suffix=".tsv", delete=False)
+    for _ in range(rng.randint(1, 6)):
+        a, b = rng.choice(letters), rng.choice(letters)
+        kind = rng.random()
+        if kind < 0.4:
+            pat = f"-[{a}]+[{b}]"
+        elif kind < 0.7:
+            pat = f"^=[{a}]-[{b}]"
+        else:
+            pat = f"-[{a}{b}]+[{b}]$"
+        cf.write(f"{pat}\t{rng.choice([0.8, 1.1, 1.3])}\n")
+    cf.close()
+    model.read_confusablelist(cf.name)
+    os.unlink(cf.name)
+    model.build()
+    params = SearchParameters(
+        max_anagram_distance=DistanceThreshold.absolute(rng.randint(1, 3)),
+        max_edit_distance=DistanceThreshold.absolute(rng.randint(1, 3)),
+        max_matches=rng.choice([3, 10]),
+        score_threshold=rng.choice([0.0, 0.25]),
+        cutoff_threshold=rng.choice([0.0, 2.0]),
+        freq_weight=rng.choice([0.0, 1.0]),
+    )
+
+    def corrupt(w):
+        if len(w) < 3:
+            return w
+        i = rng.randrange(len(w) - 1)
+        return w[:i] + w[i + 1] + w[i] + w[i + 2:]
+
+    queries = [corrupt(rng.choice(words)) for _ in range(20)]
+    model.set_backend("oracle")
+    want = [model.find_variants(q, params) for q in queries]
+    model.set_backend("device")
+    got = model.find_variants_batch(queries, params)
+    for q, w, g in zip(queries, want, got):
+        assert _result_tuples(model, g) == _result_tuples(model, w), (seed, q)
