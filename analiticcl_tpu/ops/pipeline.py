@@ -287,7 +287,6 @@ def _query_core(
     # only exact pairs survive; the restriction is applied as a pair filter in
     # stage B (exact pairs are a subset of the L1 ball)
     use_exact = stop_exact & (nexact > 0)
-    n_match = jnp.where(use_exact, nexact, nmatch)
     total_match = nmatch.sum()
 
     # hierarchical compaction over block counts. Stage-A outputs are
