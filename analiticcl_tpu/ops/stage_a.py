@@ -85,10 +85,11 @@ def _stage_a_kernel(
     nexact_ref[0] += exact.astype(jnp.int32).sum(axis=0)
 
 
-def stage_a_masks_pallas(bins, cc, qbin, q_cc, k_ana):
+def stage_a_masks_pallas(bins, cc, qbin, q_cc, k_ana, interpret: bool = False):
     """Fused Pallas path (TPU). Shapes: bins [Ni, AT] int8, cc [Ni] int32,
     qbin [B, AT] int8, q_cc/k_ana [B] int32. Ni must divide by ROW_BLOCK.
-    Padded lexicon rows must carry a huge cc so they never match."""
+    Padded lexicon rows must carry a huge cc so they never match.
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests)."""
     Ni, AT = bins.shape
     B = qbin.shape[0]
     rb = _row_block(B)
@@ -126,6 +127,7 @@ def stage_a_masks_pallas(bins, cc, qbin, q_cc, k_ana):
             jax.ShapeDtypeStruct((1, B), jnp.int32),
             jax.ShapeDtypeStruct((1, B), jnp.int32),
         ],
+        interpret=interpret,
     )(qbin, q_cc.reshape(1, B), k_ana.reshape(1, B), bins, cc.reshape(Ni, 1))
     packed_t, exact_t, counts_t, nmatch, nexact = out
     return packed_t, exact_t, counts_t, nmatch[0], nexact[0]

@@ -1,0 +1,153 @@
+"""Direct tests of the Pallas TPU kernels (interpret mode on CPU).
+
+CI runs on the CPU backend, where the production pipeline takes the XLA
+fallbacks — so these tests exercise the Pallas kernels explicitly through the
+Pallas interpreter, which executes the same kernel program (including the
+bit-packing layout and the banded DP) without TPU hardware:
+
+  * ``dl_lcs_pallas`` vs ``dl_metrics_windowed`` (XLA) vs the scalar oracle,
+    under the windowed-exactness contract of dl_jax.py: values are exact
+    whenever the true DL <= window, and merely ">window" otherwise — so the
+    comparison clips every implementation at window+1.
+  * ``stage_a_masks_pallas`` vs ``stage_a_masks_xla`` bit-for-bit (the packing
+    order in _pack_bits_rows is the risk surface).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from analiticcl_tpu.ops import distance as oracle
+from analiticcl_tpu.ops.dl_jax import PAD_A, PAD_B, dl_metrics_windowed
+from analiticcl_tpu.ops.dl_pallas import BLOCK, dl_lcs_pallas
+from analiticcl_tpu.ops.stage_a import stage_a_masks_pallas, stage_a_masks_xla
+
+
+def _random_pairs(rng, P, L, sigma):
+    """Random padded pairs with clustered characters so edits stay small."""
+    a = np.full((P, L), PAD_A, dtype=np.int32)
+    b = np.full((P, L), PAD_B, dtype=np.int32)
+    al = rng.integers(0, L + 1, size=P).astype(np.int32)
+    bl = np.zeros(P, dtype=np.int32)
+    for p in range(P):
+        base = rng.integers(1, sigma + 1, size=al[p])
+        a[p, : al[p]] = base
+        # derive b from a by a few random edits (keeps many DLs inside the
+        # window) or draw it independently (exercises the >window branch)
+        if rng.random() < 0.7 and al[p] > 0:
+            s = list(base)
+            for _ in range(rng.integers(0, 4)):
+                op = rng.integers(0, 4)
+                if op == 0 and len(s) < L:
+                    s.insert(rng.integers(0, len(s) + 1), rng.integers(1, sigma + 1))
+                elif op == 1 and s:
+                    s.pop(rng.integers(0, len(s)))
+                elif op == 2 and s:
+                    s[rng.integers(0, len(s))] = rng.integers(1, sigma + 1)
+                elif op == 3 and len(s) >= 2:
+                    i = rng.integers(0, len(s) - 1)
+                    s[i], s[i + 1] = s[i + 1], s[i]
+            s = s[:L]
+        else:
+            s = list(rng.integers(1, sigma + 1, size=rng.integers(0, L + 1)))
+        bl[p] = len(s)
+        b[p, : len(s)] = s
+    return a, al, b, bl
+
+
+# interpret-mode cost grows with the unrolled program (L * band * W^2 terms):
+# window 5 exercises the same ring/margin logic as the production 12 bucket
+# at a CI-viable runtime; the 12 bucket itself is covered on TPU by the
+# bench's device-vs-oracle sweep.
+@pytest.mark.parametrize("window,L,seed", [(3, 8, 0), (3, 16, 1), (5, 12, 2)])
+def test_dl_lcs_pallas_matches_xla_and_oracle(window, L, seed):
+    rng = np.random.default_rng(seed)
+    P = BLOCK  # one grid step keeps interpret mode fast
+    a, al, b, bl = _random_pairs(rng, P, L, sigma=6)
+
+    ld_p, lcs_p = dl_lcs_pallas(
+        jnp.asarray(a), jnp.asarray(al), jnp.asarray(b), jnp.asarray(bl),
+        L, window, interpret=True,
+    )
+    ld_x, lcs_x, _, _ = dl_metrics_windowed(
+        jnp.asarray(a), jnp.asarray(al), jnp.asarray(b), jnp.asarray(bl),
+        L, window,
+    )
+    ld_p, lcs_p, ld_x, lcs_x = map(np.asarray, (ld_p, lcs_p, ld_x, lcs_x))
+
+    # LCS has no banding: exact everywhere, and identical across kernels
+    np.testing.assert_array_equal(lcs_p, lcs_x)
+    # DL under the windowed contract: clip at window+1 and compare to truth
+    clip = window + 1
+    for p in range(P):
+        sa = [int(x) for x in a[p, : al[p]]]
+        sb = [int(x) for x in b[p, : bl[p]]]
+        true_ld = oracle.damerau_levenshtein(sa, sb, 4 * L)
+        true_lcs = oracle.longest_common_substring_length(sa, sb)
+        assert lcs_p[p] == true_lcs, (p, sa, sb)
+        want = min(true_ld, clip)
+        assert min(int(ld_p[p]), clip) == want, (p, sa, sb, int(ld_p[p]), true_ld)
+        assert min(int(ld_x[p]), clip) == want, (p, sa, sb, int(ld_x[p]), true_ld)
+
+
+def test_dl_lcs_pallas_empty_sides():
+    L, window = 8, 3
+    P = BLOCK
+    a = np.full((P, L), PAD_A, dtype=np.int32)
+    b = np.full((P, L), PAD_B, dtype=np.int32)
+    al = np.zeros(P, dtype=np.int32)
+    bl = np.zeros(P, dtype=np.int32)
+    # pair 0: both empty; pair 1: a empty; pair 2: b empty
+    b[1, :3] = [1, 2, 3]
+    bl[1] = 3
+    a[2, :2] = [4, 5]
+    al[2] = 2
+    ld, lcs = dl_lcs_pallas(
+        jnp.asarray(a), jnp.asarray(al), jnp.asarray(b), jnp.asarray(bl),
+        L, window, interpret=True,
+    )
+    ld = np.asarray(ld)
+    assert ld[0] == 0 and ld[1] == 3 and ld[2] == 2
+    assert np.asarray(lcs)[:3].tolist() == [0, 0, 0]
+
+
+@pytest.mark.parametrize("seed,B", [(0, 8), (1, 64)])
+def test_stage_a_pallas_matches_xla_bit_for_bit(seed, B):
+    rng = np.random.default_rng(seed)
+    Ni = 2048  # two ROW_BLOCK grid steps
+    A, T = 6, 3
+    AT = A * T
+    counts = rng.integers(0, T + 1, size=(Ni, A)).astype(np.int32)
+    t_levels = np.arange(T, dtype=np.int32)[None, None, :]
+    bins = (counts[:, :, None] > t_levels).reshape(Ni, AT).astype(np.int8)
+    cc = counts.sum(axis=1).astype(np.int32)
+    # mark a padded tail the way DevicePipeline does: huge cc, zero bins
+    n_real = Ni - 137
+    bins[n_real:] = 0
+    cc[n_real:] = np.int32(1 << 28)
+    validrows = np.arange(Ni) < n_real
+
+    qc = rng.integers(0, T + 1, size=(B, A)).astype(np.int32)
+    qbin = (qc[:, :, None] > t_levels).reshape(B, AT).astype(np.int8)
+    q_cc = qc.sum(axis=1).astype(np.int32)
+    k_ana = rng.integers(0, 4, size=B).astype(np.int32)
+    k_ana[0] = -1  # padding-row convention: matches nothing
+
+    args = (jnp.asarray(qbin), jnp.asarray(q_cc), jnp.asarray(k_ana))
+    p_packed, p_exact, p_counts, p_nm, p_ne = stage_a_masks_pallas(
+        jnp.asarray(bins), jnp.asarray(cc), *args, interpret=True
+    )
+    x_packed, x_exact, x_counts, x_nm, x_ne = stage_a_masks_xla(
+        jnp.asarray(bins), jnp.asarray(cc), jnp.asarray(validrows), *args
+    )
+    np.testing.assert_array_equal(np.asarray(p_packed), np.asarray(x_packed))
+    np.testing.assert_array_equal(np.asarray(p_exact), np.asarray(x_exact))
+    np.testing.assert_array_equal(np.asarray(p_counts), np.asarray(x_counts))
+    np.testing.assert_array_equal(np.asarray(p_nm), np.asarray(x_nm))
+    np.testing.assert_array_equal(np.asarray(p_ne), np.asarray(x_ne))
+
+    # and against a direct numpy L1 computation
+    l1 = np.abs(counts[:, None, :] - qc[None, :, :]).sum(axis=2)  # [Ni, B]
+    mask = (l1 <= k_ana[None, :]) & validrows[:, None]
+    np.testing.assert_array_equal(np.asarray(x_nm), mask.sum(axis=0))
