@@ -178,7 +178,14 @@ class AlphabetEncoder:
                 from .utils.native import NativeMatcher, available
 
                 self._native = NativeMatcher(self.alphabet) if available() else None
-            except Exception:
+            except Exception as e:
+                from .utils.native import warn_once
+
+                warn_once(
+                    "native_matcher",
+                    f"native normalizer unavailable ({e!r}); "
+                    "using pure-Python normalization",
+                )
                 self._native = None
         return self._native
 

@@ -68,8 +68,13 @@ def shortest_edit_script(a: str, b: str) -> EditScript:
         ops = edit_script_native(a, b)
         if ops is not None:
             return [Instruction(Op(op), text) for op, text in ops]
-    except Exception:
-        pass
+    except Exception as e:
+        from .utils.native import warn_once
+
+        warn_once(
+            "edit_script_native",
+            f"native edit-script path failed ({e!r}); using Python fallback",
+        )
     return _shortest_edit_script_py(a, b)
 
 

@@ -996,7 +996,14 @@ class VariantModel:
         if nc is not None:
             try:
                 weights = nc.weights_batch(input_text, texts)
-            except Exception:
+            except Exception as e:
+                from ..utils.native import warn_once
+
+                warn_once(
+                    "native_confusables_batch",
+                    f"native confusable matcher failed ({e!r}); "
+                    "falling back to edit-script batching",
+                )
                 weights = None
             if weights is not None:
                 for result, w in zip(results, weights):
@@ -1007,7 +1014,14 @@ class VariantModel:
             from ..editscript import Instruction, Op
 
             scripts = edit_scripts_batch(input_text, texts)
-        except Exception:
+        except Exception as e:
+            from ..utils.native import warn_once
+
+            warn_once(
+                "edit_scripts_batch",
+                f"native edit-script batch failed ({e!r}); "
+                "using pure-Python confusable weights",
+            )
             scripts = None
         if scripts is not None:
             for result, ops in zip(results, scripts):
@@ -1035,7 +1049,14 @@ class VariantModel:
                 from ..utils.native import NativeConfusables
 
                 nc = NativeConfusables(self.confusables)
-            except Exception:
+            except Exception as e:
+                from ..utils.native import warn_once
+
+                warn_once(
+                    "native_confusables_build",
+                    f"native confusable set unavailable ({e!r}); "
+                    "using Python matching",
+                )
                 nc = None
         self._native_conf_cache = (key, nc)
         return nc

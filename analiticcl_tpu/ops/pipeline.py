@@ -724,6 +724,23 @@ class DevicePipeline:
             "submit_P2": self._P2,
         }
 
+    def _collect_split(self, state) -> List[List[VariantResult]]:
+        """Overflow fallback: recompute the batch exactly by splitting it."""
+        results = state["results"]
+        active = state["active"]
+        inputs = state["inputs"]
+        params = state["params"]
+        texts = [inputs[i] for i in active]
+        if len(active) == 1:
+            sub = [self.model._find_variants_oracle(texts[0], params)]
+        else:
+            mid = len(active) // 2
+            sub = self.collect(self.submit(texts[:mid], params))
+            sub += self.collect(self.submit(texts[mid:], params))
+        for i, r in zip(active, sub):
+            results[i] = r
+        return [r if r is not None else [] for r in results]
+
     def collect(self, state) -> List[List[VariantResult]]:
         """Block on a submitted batch, handle budget escalation, rank."""
         results = state["results"]
@@ -754,12 +771,21 @@ class DevicePipeline:
                 overflowed = True
             if not overflowed:
                 if total_match > self._P or total_keep > self._P2:
+                    # budgets are maxed out and the batch still overflows: the
+                    # flat pair list is truncated query-major, which would
+                    # silently zero the tail queries' candidate sets. Instead
+                    # split the batch and re-run each half (halving the pair
+                    # total); a single query that alone overflows the top
+                    # bucket takes the exact host oracle path. The reference
+                    # guarantees the full candidate set (lib.rs:1143-1308).
                     print(
                         f"WARNING: pair budget overflow "
-                        f"({total_match} matches / {total_keep} kept); "
-                        "farthest candidates dropped",
+                        f"({total_match} matches / {total_keep} kept at "
+                        f"P={self._P}/P2={self._P2}); splitting batch",
                         file=sys.stderr,
                     )
+                    dev_cm.__exit__(None, None, None)
+                    return self._collect_split(state)
                 break
             (
                 o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case,

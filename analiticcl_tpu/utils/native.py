@@ -24,6 +24,19 @@ _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
+_warned: set = set()
+
+
+def warn_once(key: str, message: str) -> None:
+    """stderr warning emitted once per process per key.
+
+    Native-path failures degrade to slower (but equivalent) Python fallbacks;
+    they must not be silent — a broken .so would otherwise mask itself as a
+    mere slowdown."""
+    if key not in _warned:
+        _warned.add(key)
+        print(f"WARNING: {message}", file=sys.stderr)
+
 
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried

@@ -289,3 +289,39 @@ def test_rank_fast_batch_equals_rank_fast():
             gt = [(r.vocab_id, r.dist_score, r.freq_score) for r in got[g]]
             wt = [(r.vocab_id, r.dist_score, r.freq_score) for r in want]
             assert gt == wt, (trial, g, params)
+
+
+def test_pair_budget_overflow_splits_not_truncates(monkeypatch, tmp_path):
+    """When totals exceed the top pair budgets the batch must be recomputed
+    (split / oracle), never truncated query-major: every query keeps its full
+    candidate set (reference guarantee, lib.rs:1143-1308)."""
+    from analiticcl_tpu.ops import pipeline as pl_mod
+
+    # tiny top buckets force overflow on a normal workload
+    monkeypatch.setattr(pl_mod, "P_BUCKETS", (32, 64))
+    monkeypatch.setattr(pl_mod, "P2_BUCKETS", (16, 32))
+
+    words = []
+    with open(ENG_LEXICON, "r", encoding="utf-8") as f:
+        for i, line in enumerate(f):
+            if i % 40 == 0:
+                words.append(line)
+    subset = tmp_path / "eng_tiny.tsv"
+    subset.write_text("".join(words))
+    model = VariantModel(alphabet_file=SIMPLE_ALPHABET)
+    model.read_vocabulary(str(subset), VocabParams())
+    model.build()
+
+    params = SearchParameters(
+        max_anagram_distance=DistanceThreshold.absolute(3),
+        max_edit_distance=DistanceThreshold.absolute(2),
+        max_matches=10,
+        score_threshold=0.25,
+    )
+    queries = QUERIES + ["aple", "bannana", "chocolat", "definately", "wierd"]
+    model.set_backend("oracle")
+    want = [model.find_variants(q, params) for q in queries]
+    model.set_backend("device")
+    got = model.find_variants_batch(queries, params)
+    for q, w, g in zip(queries, want, got):
+        assert _result_tuples(model, g) == _result_tuples(model, w), q
