@@ -505,6 +505,7 @@ class VariantModel:
         over all indexed entries, count vectors via a single bincount, and
         the canonical (anagram value, vocab id) sort over 512-bit big-endian
         prime-product keys computed natively (exact Python-int fallback)."""
+        self._lm_tables_cache = None
         A = self.alphabet_size()
         indexed_flag = int(VocabType.INDEXED)
         indexed_vids = [
@@ -1102,6 +1103,7 @@ class VariantModel:
 
     def add_ngram(self, ngram: Tuple[VocabId, ...], frequency: int) -> None:
         self.ngrams[ngram] = self.ngrams.get(ngram, 0) + frequency
+        self._lm_tables_cache = None
 
     def into_ngram(
         self, word: VocabId, unseen_parts: Optional[Dict[str, VocabId]]
@@ -1165,6 +1167,104 @@ class VariantModel:
                 logprob += TRANSITION_SMOOTHING_LOGPROB
         perplexity = -1.0 / n * logprob if n else 0.0
         return logprob, perplexity
+
+    def _lm_tables(self):
+        """Sorted unigram/bigram count arrays for vectorized LM lookups.
+
+        Built lazily from ``self.ngrams`` (invalidated by build()); bigram
+        keys pack (t0, t1) into one int64 so a single searchsorted resolves
+        the joint count for every transition in a batch at once."""
+        t = getattr(self, "_lm_tables_cache", None)
+        if t is not None:
+            return t
+        bi_k: List[int] = []
+        bi_v: List[int] = []
+        uni_k: List[int] = []
+        uni_v: List[int] = []
+        for ng, c in self.ngrams.items():
+            if len(ng) == 2:
+                bi_k.append((ng[0] << 32) | ng[1])
+                bi_v.append(c)
+            elif len(ng) == 1:
+                uni_k.append(ng[0])
+                uni_v.append(c)
+        bi_keys = np.asarray(bi_k, dtype=np.int64)
+        bi_counts = np.asarray(bi_v, dtype=np.int64)
+        order = np.argsort(bi_keys)
+        bi_keys, bi_counts = bi_keys[order], bi_counts[order]
+        uni_keys = np.asarray(uni_k, dtype=np.int64)
+        uni_counts = np.asarray(uni_v, dtype=np.int64)
+        order = np.argsort(uni_keys)
+        uni_keys, uni_counts = uni_keys[order], uni_counts[order]
+        t = (bi_keys, bi_counts, uni_keys, uni_counts)
+        self._lm_tables_cache = t
+        return t
+
+    def lm_score_tokens_batch(
+        self, token_lists: Sequence[List[Optional[VocabId]]]
+    ) -> List[Tuple[float, float]]:
+        """Vectorized ``lm_score_tokens`` over many sequences at once.
+
+        Bit-equal to the scalar path: per-sequence contributions accumulate
+        in pair order (np.bincount sums left-to-right), lookups use the same
+        default-1 prior and the same smoothing constant."""
+        nseq = len(token_lists)
+        if nseq == 0:
+            return []
+        t0s: List[int] = []
+        t1s: List[int] = []
+        segs: List[int] = []
+        for si, toks in enumerate(token_lists):
+            for i in range(1, len(toks)):
+                a = toks[i - 1]
+                b = toks[i]
+                t0s.append(-1 if a is None else a)
+                t1s.append(-1 if b is None else b)
+                segs.append(si)
+        if not segs:
+            return [(0.0, 0.0)] * nseq
+        t0a = np.asarray(t0s, dtype=np.int64)
+        t1a = np.asarray(t1s, dtype=np.int64)
+        seg = np.asarray(segs, dtype=np.int64)
+        present = (t0a >= 0) & (t1a >= 0)
+
+        bi_keys, bi_counts, uni_keys, uni_counts = self._lm_tables()
+        key = (t0a << 32) | np.where(t1a >= 0, t1a, 0)
+        if len(bi_keys):
+            bidx = np.searchsorted(bi_keys, key)
+            bsafe = np.minimum(bidx, len(bi_keys) - 1)
+            bfound = present & (bi_keys[bsafe] == key)
+            joint = bi_counts[bsafe]
+        else:
+            bfound = np.zeros(len(key), dtype=bool)
+            joint = np.ones(len(key), dtype=np.int64)
+        if len(uni_keys):
+            uidx = np.searchsorted(uni_keys, np.maximum(t0a, 0))
+            usafe = np.minimum(uidx, len(uni_keys) - 1)
+            ufound = uni_keys[usafe] == np.maximum(t0a, 0)
+            prior = np.where(ufound, uni_counts[usafe], 1)
+        else:
+            prior = np.ones(len(key), dtype=np.int64)
+
+        joint_f = joint.astype(np.float64)
+        with np.errstate(divide="ignore"):
+            contrib = np.where(
+                bfound,
+                np.where(
+                    prior < joint,
+                    np.log(joint_f),
+                    np.log(joint_f / np.maximum(prior, 1).astype(np.float64)),
+                ),
+                TRANSITION_SMOOTHING_LOGPROB,
+            )
+        logprob = np.bincount(seg, weights=contrib, minlength=nseq)
+        n = np.bincount(seg, minlength=nseq)
+        out: List[Tuple[float, float]] = []
+        for si in range(nseq):
+            lp = float(logprob[si])
+            cnt = int(n[si])
+            out.append((lp, -1.0 / cnt * lp if cnt else 0.0))
+        return out
 
     def lm_score(
         self, sequence: SequenceHyp, boundaries: Sequence[Match]
@@ -1427,8 +1527,6 @@ class VariantModel:
         use_rules = bool(self.context_rules) and params.contextrules_weight > 0
         nbest = max(1, params.max_seq) if (use_lm or use_rules) else 1
 
-        import heapq
-
         in_arcs: List[List[Tuple[int, float, Optional[int]]]] = [
             [] for _ in range(nstates)
         ]
@@ -1436,41 +1534,63 @@ class VariantModel:
             for target, cost, symbol in arcs[state]:
                 in_arcs[target].append((state, cost, symbol))
 
-        # hypothesis = (cost, serial, source_state, hyp_index_in_source, symbol)
-        hyps: List[List[Tuple[float, int, int, int, Optional[int]]]] = [
-            [] for _ in range(nstates)
-        ]
-        hyps[0] = [(0.0, 0, -1, -1, None)]
-        serial = 1  # tie-break keeps heapq comparisons off the payload
+        # per-state hypothesis arrays, each sorted by (cost, construction
+        # order); the construction order reproduces the reference n-best's
+        # deterministic tie-break (arcs enumerated source-hyp-major, and a
+        # hyp created at a lower state always precedes one at a higher state)
+        hyp_cost: List[np.ndarray] = [np.zeros(1)] * nstates
+        hyp_src: List[np.ndarray] = [np.full(1, -1, np.int32)] * nstates
+        hyp_shidx: List[np.ndarray] = [np.full(1, -1, np.int32)] * nstates
+        hyp_sym: List[np.ndarray] = [np.full(1, -1, np.int32)] * nstates
+        hyp_n = [0] * nstates
+        hyp_n[0] = 1
         for state in range(1, nstates):
-            exts = []
+            parts_c, parts_s, parts_h, parts_y = [], [], [], []
             for src, cost, symbol in in_arcs[state]:
-                for hidx, h in enumerate(hyps[src]):
-                    exts.append((h[0] + cost, serial, src, hidx, symbol))
-                    serial += 1
-            if exts:
-                hyps[state] = heapq.nsmallest(nbest, exts)
+                n = hyp_n[src]
+                if n == 0:
+                    continue
+                parts_c.append(hyp_cost[src][:n] + cost)
+                parts_s.append(np.full(n, src, np.int32))
+                parts_h.append(np.arange(n, dtype=np.int32))
+                parts_y.append(
+                    np.full(n, -1 if symbol is None else symbol, np.int32)
+                )
+            if not parts_c:
+                hyp_n[state] = 0
+                continue
+            ec = np.concatenate(parts_c)
+            # stable sort on cost == sort by (cost, serial): the concatenated
+            # order IS the serial enumeration order
+            order = np.argsort(ec, kind="stable")[:nbest]
+            hyp_cost[state] = ec[order]
+            hyp_src[state] = np.concatenate(parts_s)[order]
+            hyp_shidx[state] = np.concatenate(parts_h)[order]
+            hyp_sym[state] = np.concatenate(parts_y)[order]
+            hyp_n[state] = len(order)
 
-        collected_refs: List[Tuple[float, int, int, int]] = []
-        for state in final_states:
-            for hidx, h in enumerate(hyps[state]):
-                collected_refs.append((h[0], h[1], state, hidx))
-        collected_refs.sort(key=lambda x: (x[0], x[1]))
+        # collect final hypotheses; ties break by (state, hidx), which equals
+        # the global serial order (see above)
+        collected_refs: List[Tuple[float, int, int]] = []
+        for state in sorted(final_states):
+            for hidx in range(hyp_n[state]):
+                collected_refs.append((float(hyp_cost[state][hidx]), state, hidx))
+        collected_refs.sort(key=lambda x: (x[0], x[1], x[2]))
         collected_refs = collected_refs[:nbest]
 
         def reconstruct(state: int, hidx: int) -> Tuple[int, ...]:
             syms: List[int] = []
             while state >= 0:
-                cost, _, src, shidx, symbol = hyps[state][hidx]
-                if symbol is not None:
+                symbol = int(hyp_sym[state][hidx])
+                if symbol >= 0:
                     syms.append(symbol)
-                state, hidx = src, shidx
+                state, hidx = int(hyp_src[state][hidx]), int(hyp_shidx[state][hidx])
             syms.reverse()
             return tuple(syms)
 
         collected = [
             (cost, reconstruct(state, hidx))
-            for cost, _, state, hidx in collected_refs
+            for cost, state, hidx in collected_refs
         ]
 
         sequences: List[SequenceHyp] = []
@@ -1480,12 +1600,6 @@ class VariantModel:
         for cost, syms in collected:
             seq = SequenceHyp(variant_cost=cost)
             seq.output_symbols = [output_symbols[s] for s in syms]
-            if self.have_lm and params.lm_weight > 0:
-                lm_logprob, perplexity = self.lm_score(seq, boundaries)
-                seq.lm_logprob = lm_logprob
-                seq.perplexity = perplexity
-                if perplexity < best_lm_perplexity:
-                    best_lm_perplexity = perplexity
             if self.context_rules:
                 context_score, sequence_results = self.test_context_rules(seq)
                 seq.context_score = context_score
@@ -1498,6 +1612,59 @@ class VariantModel:
             if seq.context_score > best_context_score:
                 best_context_score = seq.context_score
             sequences.append(seq)
+
+        if self.have_lm and params.lm_weight > 0 and sequences:
+            # one vectorized LM pass over every kept hypothesis; the token
+            # expansion (lm_score, lib.rs:2578-2628) is shared via caches —
+            # the same vocab entry or boundary text recurs across hypotheses
+            ngram_cache: Dict[int, Optional[Tuple[VocabId, ...]]] = {}
+            btail_cache: Dict[int, Optional[List[Optional[VocabId]]]] = {}
+
+            def vid_tokens(vid: int):
+                toks = ngram_cache.get(vid, False)
+                if toks is False:
+                    toks = self.into_ngram(vid, None)
+                    ngram_cache[vid] = toks
+                return toks
+
+            def boundary_tail(bidx: int):
+                tail = btail_cache.get(bidx, False)
+                if tail is False:
+                    btext = boundaries[bidx].text.strip()
+                    if not btext:
+                        tail = None
+                    else:
+                        bvid = self.encoder.get(btext)
+                        if bvid is None:
+                            tail = [None]
+                        else:
+                            ng = vid_tokens(bvid)
+                            tail = list(ng) if ng is not None else None
+                    btail_cache[bidx] = tail
+                return tail
+
+            token_lists: List[List[Optional[VocabId]]] = []
+            for seq in sequences:
+                tokens: List[Optional[VocabId]] = [BOS]
+                for osym in seq.output_symbols:
+                    if osym.vocab_id == 0:
+                        tokens.append(None)
+                    else:
+                        ng = vid_tokens(osym.vocab_id)
+                        if ng is not None:
+                            tokens.extend(ng)
+                    tail = boundary_tail(osym.boundary_index)
+                    if tail is not None:
+                        tokens.extend(tail)
+                tokens.append(EOS)
+                token_lists.append(tokens)
+            for seq, (lm_logprob, perplexity) in zip(
+                sequences, self.lm_score_tokens_batch(token_lists)
+            ):
+                seq.lm_logprob = lm_logprob
+                seq.perplexity = perplexity
+                if perplexity < best_lm_perplexity:
+                    best_lm_perplexity = perplexity
 
         best_score = -99999999.0
         best_sequence: Optional[SequenceHyp] = None

@@ -264,7 +264,12 @@ def _query_core(
     P: int,
     P2: int,
     window: int,  # exactness window for DL (>= max per-query edit distance)
+    stop_stage: Optional[str] = None,  # profiling: truncate after a stage
 ):
+    def _probe(*arrays):
+        """Small checksums standing in for a stage's outputs (profiling)."""
+        return tuple(jnp.sum(a.astype(jnp.int32)) for a in arrays)
+
     B = qbin.shape[0]
     Ni_pad = bins.shape[0]
     L = norms2.shape[1] // 2
@@ -288,6 +293,8 @@ def _query_core(
     # stage B (exact pairs are a subset of the L1 ball)
     use_exact = stop_exact & (nexact > 0)
     total_match = nmatch.sum()
+    if stop_stage == "stageA":
+        return _probe(packed_t[::64], exact_t[::64], counts_t, nmatch, nexact)
 
     # hierarchical compaction over block counts. Stage-A outputs are
     # lexicon-major ([Ni/8, B] etc.); everything below runs in the q-major
@@ -374,6 +381,8 @@ def _query_core(
     pvalid = pvalid_slot
     pq = jnp.where(pvalid, q_safe, B)
     pc = jnp.where(pvalid, blk_lex * BLK + pos, 0)
+    if stop_stage == "resolve":
+        return _probe(pq, pc)
 
     cn2 = norms2[pc]  # [P, 2L]: one gather for forward + reversed
     cn = cn2[:, :L]
@@ -419,6 +428,9 @@ def _query_core(
         )
         ld, lcs, pf, sf = (x.reshape(P) for x in (ld, lcs, pf, sf))
 
+    if stop_stage == "gather_dl":
+        return _probe(ld, lcs, pf, sf)
+
     w_ld, w_lcs, w_pf, w_sf, w_case, w_sum = (
         weights[0], weights[1], weights[2], weights[3], weights[4], weights[5],
     )
@@ -459,6 +471,10 @@ def _query_core(
     )[:B]
     n_keep = jax.ops.segment_sum(keep.astype(jnp.int32), pq, num_segments=B + 1)[:B]
     total_keep = n_keep.sum()
+    if stop_stage == "score":
+        return _probe(keep, n_keep, max_freq) + (
+            jnp.sum(score * keep),
+        )
 
     # compact survivors, preserving (query, canonical candidate) order
     out = _compact(
@@ -468,6 +484,8 @@ def _query_core(
         (B, 0, 0, 0, 0, 0, 0),
     )
     o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case = out
+    if stop_stage == "compact_sum":
+        return _probe(o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case)
     return (
         o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case,
         n_keep, max_freq, total_match, total_keep,

@@ -237,8 +237,86 @@ def confusables_errors():
     }
 
 
+def micro():
+    """Host micro-benchmarks mirroring the reference's criterion set
+    (/root/reference/benches/benchmarks.rs:6-159): anahash, count-vector
+    algebra (insert/contains/delete), deletion iterators, tiny model build —
+    plus the eng.aspell index build the reference never timed. Medians of
+    repeated timed loops, reported in ns/op (ops/s for iterators)."""
+    import statistics
+    import timeit
+
+    sys.path.insert(0, "tests")
+    from fixtures import get_test_alphabet
+
+    from analiticcl_tpu import anahash as ah
+    from analiticcl_tpu.alphabet import AlphabetEncoder
+    from analiticcl_tpu.iterators import RecurseDeletionIterator
+    from analiticcl_tpu.types import Weights
+
+    alphabet, _ = get_test_alphabet()
+    enc = AlphabetEncoder(alphabet)
+
+    def med_ns(fn, number=None):
+        if number is None:
+            # size the loop so one repeat runs ~20ms
+            per = timeit.timeit(fn, number=100) / 100
+            number = max(100, int(0.02 / max(per, 1e-9)))
+        reps = [timeit.timeit(fn, number=number) / number for _ in range(7)]
+        return statistics.median(reps) * 1e9
+
+    out = {"scenario": "micro"}
+    inputs = ["a", "rat", "houses", "benchmarking",
+              "the lazy dog jumped over the quick brown fox"]
+    for text in inputs:
+        out[f"anahash_{len(text)}c_ns"] = round(med_ns(lambda: enc.count_vector(text)), 1)
+
+    change = enc.count_vector("change")
+    rat = enc.count_vector("houses")
+    out["insert_ns"] = round(med_ns(lambda: ah.cv_insert(rat, change)), 1)
+    out["contains_ns"] = round(med_ns(lambda: ah.cv_contains(rat, change)), 1)
+    out["delete_ns"] = round(med_ns(lambda: ah.cv_delete(rat, change)), 1)
+
+    for text in ["rat", "houses", "benchmarking"]:
+        avv = enc.count_vector(text)
+        n = len(text)
+        out[f"iter_bfs_nodups_{n}c_ns"] = round(
+            med_ns(
+                lambda: sum(
+                    1
+                    for _ in RecurseDeletionIterator(
+                        avv, breadthfirst=True, unique=True, empty_leaves=False
+                    )
+                )
+            ),
+            1,
+        )
+
+    simple = ["rites", "tiers", "tires", "tries", "tyres", "rides", "brides", "dire"]
+
+    def build_tiny():
+        m = VariantModel.new_with_alphabet(alphabet, Weights(), 0)
+        for item in simple:
+            m.add_to_vocabulary(item, None, VocabParams())
+        m.build()
+
+    out["model_init_and_build_ns"] = round(med_ns(build_tiny, number=20), 1)
+
+    # full-lexicon index build (reference README shows it as startup work)
+    reps = []
+    for _ in range(3):
+        m = VariantModel(alphabet_file=ALPHABET)
+        m.read_vocabulary(ENG, VocabParams())
+        t0 = time.time()
+        m.build()
+        reps.append(time.time() - t0)
+    out["build_eng_aspell_s"] = round(statistics.median(reps), 3)
+    return out
+
+
 SCENARIOS = {
     "query_eng": query_eng,
+    "micro": micro,
     "query_nld_freq": query_nld_freq,
     "search_text": search_text,
     "learn": learn,

@@ -292,3 +292,48 @@ def test0705_find_all_matches_context_only():
     assert [m.text for m in matches] == ["I", "tink", "you", "are rihgt"]
     assert model.match_to_str(matches[1]) == "think"
     assert model.match_to_str(matches[3]) == "are right"
+
+
+def test_lm_score_tokens_batch_matches_scalar():
+    """Vectorized LM scoring must be bit-equal to the scalar path."""
+    import random
+
+    from analiticcl_tpu.vocab import BOS, EOS
+
+    model = _lm_model() if "_lm_model" in dir() else None
+    if model is None:
+        # build a small LM-bearing model inline
+        from fixtures import get_test_alphabet
+        from analiticcl_tpu.models.variant_model import VariantModel
+        from analiticcl_tpu.types import Weights
+        from analiticcl_tpu.vocab import VocabParams, VocabType
+
+        alphabet, _ = get_test_alphabet()
+        model = VariantModel.new_with_alphabet(alphabet, Weights(), 0)
+        params = VocabParams(vocab_type=VocabType.INDEXED | VocabType.LM)
+        for text, freq in [
+            ("are", 50), ("right", 20), ("rights", 5), ("are right", 12),
+            ("right now", 7), ("now", 30), ("we", 40), ("we are", 18),
+        ]:
+            model.add_to_vocabulary(text, freq, params)
+        model.build()
+
+    rng = random.Random(5)
+    vids = list(range(len(model.decoder)))
+    token_lists = []
+    for _ in range(60):
+        n = rng.randint(0, 8)
+        toks = [BOS]
+        for _ in range(n):
+            toks.append(None if rng.random() < 0.25 else rng.choice(vids))
+        toks.append(EOS)
+        if rng.random() < 0.1:
+            toks = [BOS]  # degenerate: single-token-ish stream
+        token_lists.append(toks)
+    token_lists.append([])  # empty stream
+    token_lists.append([BOS])  # no pairs
+
+    got = model.lm_score_tokens_batch(token_lists)
+    want = [model.lm_score_tokens(toks) for toks in token_lists]
+    for g, w, toks in zip(got, want, token_lists):
+        assert g == w, (toks, g, w)
