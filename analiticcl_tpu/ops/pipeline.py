@@ -264,6 +264,7 @@ def _query_core(
     P: int,
     P2: int,
     window: int,  # exactness window for DL (>= max per-query edit distance)
+    use_stop_exact: bool = True,  # static: include the StopAtExactMatch filter
     stop_stage: Optional[str] = None,  # profiling: truncate after a stage
 ):
     def _probe(*arrays):
@@ -324,11 +325,18 @@ def _query_core(
     q_safe = jnp.minimum(q_of, B - 1)
     qexcl = qcum - nmatch.astype(jnp.int32)  # exclusive cumsum
     r_q = targets - qexcl[q_safe]  # 1-based rank within the query
+    if stop_stage == "resolve_pre":
+        return _probe(q_of, r_q)
 
     # block within the query: unrolled binary search over the query's
     # inclusive block cumsum (first index with bpq >= r)
     counts_q = counts_t.T  # [B, M_lex]
     bpq = jnp.cumsum(counts_q, axis=1).reshape(-1)  # [B*M_lex]
+    if stop_stage == "resolve_tables":
+        packed_q_probe = jax.lax.bitcast_convert_type(
+            packed_t.T.reshape(B, NW, 4), jnp.uint32
+        )
+        return _probe(bpq, packed_q_probe[:, ::64])
     base_q = q_safe * M_lex
     step = 1
     while step < M_lex:
@@ -451,13 +459,16 @@ def _query_core(
     ) / w_sum
 
     pass_ed = pvalid & (ld <= k_ed[pq_safe])
-    # stop-at-exact restriction: drop non-exact pairs of queries with exacts
-    exact_byte_idx = jnp.minimum(
-        (pc // 8) * B + pq_safe, Ni_pad // 8 * B - 1
-    )
-    pair_exact_byte = exact_t.reshape(-1)[exact_byte_idx].astype(jnp.int32)
-    pair_exact = ((pair_exact_byte >> (pc % 8)) & 1) == 1
-    pass_ed = pass_ed & (~use_exact[pq_safe] | pair_exact)
+    if use_stop_exact:
+        # stop-at-exact restriction: drop non-exact pairs of queries with
+        # exacts (compiled in only when the stop criterion can need it — the
+        # gather into exact_t costs ~1ms/batch otherwise)
+        exact_byte_idx = jnp.minimum(
+            (pc // 8) * B + pq_safe, Ni_pad // 8 * B - 1
+        )
+        pair_exact_byte = exact_t.reshape(-1)[exact_byte_idx].astype(jnp.int32)
+        pair_exact = ((pair_exact_byte >> (pc % 8)) & 1) == 1
+        pass_ed = pass_ed & (~use_exact[pq_safe] | pair_exact)
     keep = pass_ed & (score >= score_threshold - THRESHOLD_SLACK)
 
     # frequency normalization max runs over ALL scored instances (ld within
@@ -466,20 +477,30 @@ def _query_core(
     # uint32 arithmetic: this max is load-bearing for every query's
     # freq_score, and f32 would round frequencies above 2^24.
     freq = jnp.where(have_freq, cf, jnp.uint32(1))
+    # pq is non-decreasing (slots are emitted query-major)
     max_freq = jax.ops.segment_max(
-        jnp.where(pass_ed, freq, jnp.uint32(0)), pq, num_segments=B + 1
+        jnp.where(pass_ed, freq, jnp.uint32(0)),
+        pq,
+        num_segments=B + 1,
+        indices_are_sorted=True,
     )[:B]
-    n_keep = jax.ops.segment_sum(keep.astype(jnp.int32), pq, num_segments=B + 1)[:B]
-    total_keep = n_keep.sum()
+    total_keep = keep.sum()
     if stop_stage == "score":
-        return _probe(keep, n_keep, max_freq) + (
-            jnp.sum(score * keep),
-        )
+        return _probe(keep, max_freq) + (jnp.sum(score * keep),)
 
-    # compact survivors, preserving (query, canonical candidate) order
+    # compact survivors, preserving (query, canonical candidate) order.
+    # Metric columns travel as uint8 (kept pairs have ld <= k_ed <= 12 and
+    # lcs/prefix/suffix <= L): device->host transfer is the third-largest
+    # per-batch cost on remote-attached TPUs.
+    if L < 256:
+        ld8, lcs8, pf8, sf8 = (
+            x.astype(jnp.uint8) for x in (jnp.minimum(ld, 255), lcs, pf, sf)
+        )
+    else:
+        ld8, lcs8, pf8, sf8 = ld, lcs, pf, sf
     out = _compact(
         keep,
-        (pq, pc, ld, lcs, pf, sf, samecase.astype(jnp.int32)),
+        (pq, pc, ld8, lcs8, pf8, sf8, samecase.astype(jnp.uint8)),
         P2,
         (B, 0, 0, 0, 0, 0, 0),
     )
@@ -488,13 +509,15 @@ def _query_core(
         return _probe(o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case)
     return (
         o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case,
-        n_keep, max_freq, total_match, total_keep,
+        max_freq, total_match, total_keep,
     )
 
 
 # single-device entry point; the multi-chip path wraps _query_core in a
 # shard_map over the lexicon axis (see parallel/mesh.py)
-_query_fused = partial(jax.jit, static_argnames=("P", "P2", "window"))(_query_core)
+_query_fused = partial(
+    jax.jit, static_argnames=("P", "P2", "window", "use_stop_exact")
+)(_query_core)
 
 
 class DevicePipeline:
@@ -574,19 +597,22 @@ class DevicePipeline:
 
     # ------------------------------------------------------------------
 
-    def _submit_fused(self, args, window: int):
+    def _submit_fused(self, args, window: int, use_stop_exact: bool = True):
         """Enqueue the fused device call without blocking (async dispatch)."""
         return _query_fused(
-            *self._idx, *args, P=self._P, P2=self._P2, window=window
+            *self._idx, *args, P=self._P, P2=self._P2, window=window,
+            use_stop_exact=use_stop_exact,
         )
 
     def _finalize_fused(self, out):
         """One bundled device->host transfer of a submitted call."""
         got = jax.device_get(out)
-        return tuple(got[:9]) + (int(got[9]), int(got[10]))
+        return tuple(got[:8]) + (int(got[8]), int(got[9]))
 
-    def _run_fused(self, args, window: int):
-        return self._finalize_fused(self._submit_fused(args, window))
+    def _run_fused(self, args, window: int, use_stop_exact: bool = True):
+        return self._finalize_fused(
+            self._submit_fused(args, window, use_stop_exact)
+        )
 
     def find_variants_batch(
         self, inputs: Sequence[str], params: SearchParameters
@@ -723,11 +749,12 @@ class DevicePipeline:
         # DL exactness window: the smallest static bucket covering every
         # per-query max edit distance in the batch
         window = _bucket(int(k_ed.max(initial=0)), WINDOW_BUCKETS)
+        use_se = params.stop_criterion is StopCriterion.STOP_AT_EXACT_MATCH
         prep_cm.__exit__(None, None, None)
 
         # async dispatch at the current sticky budgets; collect() re-runs
         # synchronously on overflow
-        out = self._submit_fused(args, window)
+        out = self._submit_fused(args, window, use_se)
         return {
             "results": results,
             "active": active,
@@ -735,6 +762,7 @@ class DevicePipeline:
             "params": params,
             "args": args,
             "window": window,
+            "use_stop_exact": use_se,
             "B": B,
             "q_lens": q_lens,
             "out": out,
@@ -777,7 +805,7 @@ class DevicePipeline:
         dev_cm.__enter__()
         (
             o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case,
-            n_keep, max_freq, total_match, total_keep,
+            max_freq, total_match, total_keep,
         ) = self._finalize_fused(state["out"])
         while True:
             overflowed = False
@@ -807,8 +835,8 @@ class DevicePipeline:
                 break
             (
                 o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case,
-                n_keep, max_freq, total_match, total_keep,
-            ) = self._run_fused(args, window)
+                max_freq, total_match, total_keep,
+            ) = self._run_fused(args, window, state["use_stop_exact"])
 
         dev_cm.__exit__(None, None, None)
 

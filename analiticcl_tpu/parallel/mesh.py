@@ -131,8 +131,8 @@ class ShardedPipeline(DevicePipeline):
 
     # ------------------------------------------------------------------
 
-    def _sharded_fn(self, P_: int, P2: int, window: int):
-        key = (P_, P2, window)
+    def _sharded_fn(self, P_: int, P2: int, window: int, use_stop_exact: bool):
+        key = (P_, P2, window, use_stop_exact)
         fn = self._sharded_cache.get(key)
         if fn is not None:
             return fn
@@ -158,7 +158,6 @@ class ShardedPipeline(DevicePipeline):
                 P(("dp", "lex")),  # o_pf
                 P(("dp", "lex")),  # o_sf
                 P(("dp", "lex")),  # o_case
-                P("dp"),  # n_keep (psum over lex -> replicated there)
                 P("dp"),  # max_freq (pmax over lex)
                 P(("dp", "lex")),  # per-shard total_match
                 P(("dp", "lex")),  # per-shard total_keep
@@ -172,12 +171,12 @@ class ShardedPipeline(DevicePipeline):
             B_local = qbin.shape[0]
             (
                 o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case,
-                n_keep, max_freq, total_match, total_keep,
+                max_freq, total_match, total_keep,
             ) = _query_core(
                 bins, cc, validrows, norms2, norm_lens, freqs, first_lower,
                 qbin, q_cc, q_norms, q_norms_rev, q_lens, q_first_lower,
                 k_ana, k_ed, stop_exact, weights, score_threshold, have_freq,
-                P=P_, P2=P2, window=window,
+                P=P_, P2=P2, window=window, use_stop_exact=use_stop_exact,
             )
             dp_i = jax.lax.axis_index("dp")
             lex_i = jax.lax.axis_index("lex")
@@ -186,11 +185,10 @@ class ShardedPipeline(DevicePipeline):
             o_q = jnp.where(o_q < B_local, o_q + dp_i * B_local, B_global)
             o_c = o_c + lex_i * Ni_shard
             # combine per-query stats across lexicon shards over ICI
-            n_keep = jax.lax.psum(n_keep, "lex")
             max_freq = jax.lax.pmax(max_freq, "lex")
             return (
                 o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case,
-                n_keep, max_freq,
+                max_freq,
                 total_match[None], total_keep[None],
             )
 
@@ -198,13 +196,13 @@ class ShardedPipeline(DevicePipeline):
         self._sharded_cache[key] = fn
         return fn
 
-    def _submit_fused(self, args, window: int):
+    def _submit_fused(self, args, window: int, use_stop_exact: bool = True):
         # shard query arrays over dp
         (
             qbin, q_cc, q_norms, q_norms_rev, q_lens, q_first_lower, k_ana,
             k_ed, stop_exact, weights, score_threshold, have_freq,
         ) = args
-        fn = self._sharded_fn(self._P, self._P2, window)
+        fn = self._sharded_fn(self._P, self._P2, window, use_stop_exact)
         return fn(
             *self._idx,
             qbin, q_cc, q_norms, q_norms_rev, q_lens, q_first_lower, k_ana,
@@ -215,11 +213,11 @@ class ShardedPipeline(DevicePipeline):
         got = jax.device_get(out)
         (
             o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case,
-            n_keep, max_freq, total_match, total_keep,
+            max_freq, total_match, total_keep,
         ) = got
         # overflow checks are per (dp, lex) shard
         return (
-            o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case, n_keep, max_freq,
+            o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case, max_freq,
             int(np.max(total_match)), int(np.max(total_keep)),
         )
 

@@ -86,6 +86,8 @@ def main():
     # assemble timing variants; stop_stage support is added to _query_core
     variants = [
         ("stageA", "stageA"),
+        ("resolve_pre", "resolve_pre"),
+        ("resolve_tables", "resolve_tables"),
         ("resolve", "resolve"),
         ("gather_dl", "gather_dl"),
         ("score", "score"),
