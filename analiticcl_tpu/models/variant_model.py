@@ -1331,6 +1331,16 @@ class VariantModel:
         like the reference (v0.4.9), not consulted here: sequence consolidation
         runs whenever max_ngram > 1, an LM is present, or context rules exist.
         """
+        return self.find_all_matches_batch([text], params)[0]
+
+    def find_all_matches_batch(
+        self, texts: Sequence[str], params: SearchParameters
+    ) -> List[List[Match]]:
+        """find_all_matches over many independent texts with ONE combined
+        lookup batch: segments of every ngram order of every text are
+        deduplicated into a single device pass (learn mode feeds whole corpus
+        batches through here; the reference round-trips per line,
+        lib.rs:1040-1056)."""
         from ..search import (
             BoundaryStrength,
             classify_boundaries,
@@ -1340,80 +1350,111 @@ class VariantModel:
             remap_offsets_to_unicodepoints,
         )
 
-        matches: List[Match] = []
-        if not text:
-            return matches
         if self.index is None:
-            print(
-                "ERROR: Model has not been built yet! Call build() before "
-                "find_all_matches()",
-                file=sys.stderr,
-            )
-            return matches
-
-        boundaries = find_boundaries(text)
-        strengths = classify_boundaries(boundaries)
-        bytetext = text.encode("utf-8")
-
-        # split into batches at hard boundaries (lib.rs:1817-1836)
-        hard_batches = []  # (begin, end_offset, boundaries_slice, text_current)
-        begin = 0
-        begin_index = 0
-        for i, (strength, boundary) in enumerate(zip(strengths, boundaries)):
-            if strength is BoundaryStrength.HARD and boundary.offset.begin != begin:
-                text_current = bytetext[begin : boundary.offset.begin].decode("utf-8")
-                hard_batches.append(
-                    (begin, boundary.offset.begin, boundaries[begin_index : i + 1], text_current)
+            if any(texts):
+                print(
+                    "ERROR: Model has not been built yet! Call build() before "
+                    "find_all_matches()",
+                    file=sys.stderr,
                 )
-                begin = boundary.offset.end
-                begin_index = i + 1
+            return [[] for _ in texts]
 
-        # gather segments of ALL orders over all hard batches into ONE device
-        # pass (replaces the reference's per-segment rayon lookups). The
-        # redundancy filter (search.rs:317-336) only consults order-1 results
-        # and only gates whether a higher-order segment's variants are
-        # *attached*, so lookups are issued speculatively and the filter is
-        # applied afterwards — trading a few wasted candidate lookups for a
-        # single batched round trip instead of one per ngram order.
-        batch_matches: List[List[Match]] = [[] for _ in hard_batches]
-        per_order: List[List[Tuple[int, Match]]] = []
+        # phase 1: segmentation + segment collection across ALL texts
+        preps: List[Optional[Tuple]] = []
         uniq: Dict[str, int] = {}
         all_texts: List[str] = []
-        for order in range(1, params.max_ngram + 1):
-            pending: List[Tuple[int, Match]] = []
-            for bi, (bbegin, bend, bslice, _btext) in enumerate(hard_batches):
-                for segment in find_match_ngrams(text, bslice, order, bbegin, bend):
-                    pending.append((bi, segment))
-                    if segment.text not in uniq:
-                        uniq[segment.text] = len(all_texts)
-                        all_texts.append(segment.text)
-            per_order.append(pending)
-        found = self.find_variants_batch(all_texts, params) if all_texts else []
-        for order_idx, pending in enumerate(per_order):
-            for bi, seg in pending:
-                if order_idx == 0 or not redundant_match(
-                    seg, batch_matches[bi]
+        for text in texts:
+            if not text:
+                preps.append(None)
+                continue
+            boundaries = find_boundaries(text)
+            strengths = classify_boundaries(boundaries)
+            bytetext = text.encode("utf-8")
+
+            # split into batches at hard boundaries (lib.rs:1817-1836)
+            hard_batches = []  # (begin, end_offset, boundaries_slice, text)
+            begin = 0
+            begin_index = 0
+            for i, (strength, boundary) in enumerate(
+                zip(strengths, boundaries)
+            ):
+                if (
+                    strength is BoundaryStrength.HARD
+                    and boundary.offset.begin != begin
                 ):
-                    seg.variants = list(found[uniq[seg.text]])
-                batch_matches[bi].append(seg)
-
-        # consolidate per hard batch
-        for bi, (bbegin, bend, bslice, btext) in enumerate(hard_batches):
-            bmatches = batch_matches[bi]
-            if params.max_ngram > 1 or self.have_lm or self.context_rules:
-                matches.extend(
-                    self.most_likely_sequence(
-                        bmatches, bslice, bbegin, bend, params, btext
+                    text_current = bytetext[
+                        begin : boundary.offset.begin
+                    ].decode("utf-8")
+                    hard_batches.append(
+                        (
+                            begin,
+                            boundary.offset.begin,
+                            boundaries[begin_index : i + 1],
+                            text_current,
+                        )
                     )
-                )
-            else:
-                for m in bmatches:
-                    m.selected = 0
-                    matches.append(m)
+                    begin = boundary.offset.end
+                    begin_index = i + 1
 
-        if params.unicodeoffsets:
-            return remap_offsets_to_unicodepoints(text, matches)
-        return matches
+            # segments of ALL orders over all hard batches join the combined
+            # lookup. The redundancy filter (search.rs:317-336) only consults
+            # order-1 results and only gates whether a higher-order segment's
+            # variants are *attached*, so lookups are issued speculatively and
+            # the filter applied afterwards — a few wasted candidate lookups
+            # in exchange for one batched round trip for everything.
+            per_order: List[List[Tuple[int, Match]]] = []
+            for order in range(1, params.max_ngram + 1):
+                pending: List[Tuple[int, Match]] = []
+                for bi, (bbegin, bend, bslice, _btext) in enumerate(
+                    hard_batches
+                ):
+                    for segment in find_match_ngrams(
+                        text, bslice, order, bbegin, bend
+                    ):
+                        pending.append((bi, segment))
+                        if segment.text not in uniq:
+                            uniq[segment.text] = len(all_texts)
+                            all_texts.append(segment.text)
+                per_order.append(pending)
+            preps.append((text, hard_batches, per_order))
+
+        # phase 2: one combined device pass over every unique segment
+        found = self.find_variants_batch(all_texts, params) if all_texts else []
+
+        # phase 3: attach + consolidate per text
+        results: List[List[Match]] = []
+        for prep in preps:
+            if prep is None:
+                results.append([])
+                continue
+            text, hard_batches, per_order = prep
+            batch_matches: List[List[Match]] = [[] for _ in hard_batches]
+            for order_idx, pending in enumerate(per_order):
+                for bi, seg in pending:
+                    if order_idx == 0 or not redundant_match(
+                        seg, batch_matches[bi]
+                    ):
+                        seg.variants = list(found[uniq[seg.text]])
+                    batch_matches[bi].append(seg)
+
+            matches: List[Match] = []
+            for bi, (bbegin, bend, bslice, btext) in enumerate(hard_batches):
+                bmatches = batch_matches[bi]
+                if params.max_ngram > 1 or self.have_lm or self.context_rules:
+                    matches.extend(
+                        self.most_likely_sequence(
+                            bmatches, bslice, bbegin, bend, params, btext
+                        )
+                    )
+                else:
+                    for m in bmatches:
+                        m.selected = 0
+                        matches.append(m)
+
+            if params.unicodeoffsets:
+                matches = remap_offsets_to_unicodepoints(text, matches)
+            results.append(matches)
+        return results
 
     # ------------------------------------------------------------------
     # Sequence consolidation (lib.rs:2087-2495) — lattice n-best decoding
@@ -1799,10 +1840,16 @@ class VariantModel:
                 )
             ]
         else:
-            for inputstr in inputs:
-                all_variants.append(
-                    self.find_variants_for_learning(inputstr, params, strict)
-                )
+            # one combined lookup batch across the whole corpus slice instead
+            # of a device round trip per line (lib.rs:1040-1056 equivalent)
+            inputs_list = list(inputs)
+            for matches in self.find_all_matches_batch(inputs_list, params):
+                line_out: List[Tuple[str, VariantResult]] = []
+                for m in matches:
+                    solution = m.solution()
+                    if solution is not None:
+                        line_out.append((m.text, solution))
+                all_variants.append(line_out)
 
         count = 0
         prev: Optional[str] = None
