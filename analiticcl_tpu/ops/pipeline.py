@@ -260,7 +260,7 @@ def _query_core(
     stop_exact,  # bool [B]
     weights,  # f32 [6]
     score_threshold,  # f32 scalar
-    have_freq,  # bool scalar
+    have_freq: bool,  # STATIC: model has frequencies (gates the segment max)
     P: int,
     P2: int,
     window: int,  # exactness window for DL (>= max per-query edit distance)
@@ -274,6 +274,9 @@ def _query_core(
     B = qbin.shape[0]
     Ni_pad = bins.shape[0]
     L = norms2.shape[1] // 2
+    if stop_stage == "noop":
+        # profiling floor: tunnel RTT + dispatch, no real compute
+        return _probe(q_cc, k_ana)
 
     # ---------------- Stage A: retrieval ----------------
     # hit/exact masks arrive bit-packed with per-128-block counts, either from
@@ -497,14 +500,18 @@ def _query_core(
     # updates max_freq before the threshold push (lib.rs:1455-1476). Exact
     # uint32 arithmetic: this max is load-bearing for every query's
     # freq_score, and f32 would round frequencies above 2^24.
-    freq = jnp.where(have_freq, cf, jnp.uint32(1))
-    # pq is non-decreasing (slots are emitted query-major)
-    max_freq = jax.ops.segment_max(
-        jnp.where(pass_ed, freq, jnp.uint32(0)),
-        pq,
-        num_segments=B + 1,
-        indices_are_sorted=True,
-    )[:B]
+    if have_freq:
+        # pq is non-decreasing (slots are emitted query-major)
+        max_freq = jax.ops.segment_max(
+            jnp.where(pass_ed, cf, jnp.uint32(0)),
+            pq,
+            num_segments=B + 1,
+            indices_are_sorted=True,
+        )[:B]
+    else:
+        # frequency-less model: the normalization max is constant 1 and the
+        # segment reduction (a scatter, ~4 ms/batch) is compiled out
+        max_freq = jnp.ones(B, dtype=jnp.uint32)
     total_keep = keep.sum()
     if stop_stage == "score":
         return _probe(keep, max_freq) + (jnp.sum(score * keep),)
@@ -537,7 +544,8 @@ def _query_core(
 # single-device entry point; the multi-chip path wraps _query_core in a
 # shard_map over the lexicon axis (see parallel/mesh.py)
 _query_fused = partial(
-    jax.jit, static_argnames=("P", "P2", "window", "use_stop_exact")
+    jax.jit,
+    static_argnames=("P", "P2", "window", "use_stop_exact", "have_freq"),
 )(_query_core)
 
 
@@ -621,7 +629,8 @@ class DevicePipeline:
     def _submit_fused(self, args, window: int, use_stop_exact: bool = True):
         """Enqueue the fused device call without blocking (async dispatch)."""
         return _query_fused(
-            *self._idx, *args, P=self._P, P2=self._P2, window=window,
+            *self._idx, *args, have_freq=bool(self.model.have_freq),
+            P=self._P, P2=self._P2, window=window,
             use_stop_exact=use_stop_exact,
         )
 
@@ -764,7 +773,6 @@ class DevicePipeline:
             jnp.asarray(stop_exact),
             jnp.asarray(weights_arr),
             jnp.float32(params.score_threshold),
-            jnp.asarray(model.have_freq),
         )
 
         # DL exactness window: the smallest static bucket covering every

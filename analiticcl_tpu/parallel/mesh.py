@@ -116,8 +116,18 @@ class ShardedPipeline(DevicePipeline):
                 bins, cc, validrows, norms2, norm_lens, freqs, first_lower,
             )
         )
-        self._P = pl.P_BUCKETS[0]
-        self._P2 = pl.P2_BUCKETS[0]
+        # sticky budgets are per (dp, lex) shard: size-based on real TPUs so
+        # typical workloads compile ONE fused variant instead of escalating
+        # through every bucket (remote compiles run minutes); smallest bucket
+        # on the CPU backend so tests exercise escalation cheaply
+        if _use_pallas():
+            self._P = pl._bucket(
+                max(pl.P_BUCKETS[0], self.Ni_shard // 2), pl.P_BUCKETS
+            )
+            self._P2 = pl.P2_BUCKETS[1]
+        else:
+            self._P = pl.P_BUCKETS[0]
+            self._P2 = pl.P2_BUCKETS[0]
         self._sharded_cache = {}
         decoder = model.decoder
         self._has_variants = np.fromiter(
@@ -131,8 +141,11 @@ class ShardedPipeline(DevicePipeline):
 
     # ------------------------------------------------------------------
 
-    def _sharded_fn(self, P_: int, P2: int, window: int, use_stop_exact: bool):
-        key = (P_, P2, window, use_stop_exact)
+    def _sharded_fn(
+        self, P_: int, P2: int, window: int, use_stop_exact: bool,
+        have_freq: bool,
+    ):
+        key = (P_, P2, window, use_stop_exact, have_freq)
         fn = self._sharded_cache.get(key)
         if fn is not None:
             return fn
@@ -141,7 +154,7 @@ class ShardedPipeline(DevicePipeline):
 
         idx_specs = (P("lex"),) * 7
         q_specs = (P("dp"),) * 9  # qbin, q_cc, q_norms(+rev), q_lens, q_fl, k_ana, k_ed, stop
-        rep_specs = (P(), P(), P())  # weights, threshold, have_freq
+        rep_specs = (P(), P())  # weights, threshold
 
         @partial(
             jax.shard_map,
@@ -166,7 +179,7 @@ class ShardedPipeline(DevicePipeline):
         def step(
             bins, cc, validrows, norms2, norm_lens, freqs, first_lower,
             qbin, q_cc, q_norms, q_norms_rev, q_lens, q_first_lower, k_ana,
-            k_ed, stop_exact, weights, score_threshold, have_freq,
+            k_ed, stop_exact, weights, score_threshold,
         ):
             B_local = qbin.shape[0]
             (
@@ -177,7 +190,7 @@ class ShardedPipeline(DevicePipeline):
                 qbin, q_cc, q_norms, q_norms_rev, q_lens, q_first_lower,
                 k_ana, k_ed, stop_exact, weights, score_threshold, have_freq,
                 P=P_, P2=P2, window=window, use_stop_exact=use_stop_exact,
-            )
+            )  # have_freq is a static closure value
             dp_i = jax.lax.axis_index("dp")
             lex_i = jax.lax.axis_index("lex")
             # globalize ids; invalid slots (o_q == B_local) become B_global
@@ -200,13 +213,16 @@ class ShardedPipeline(DevicePipeline):
         # shard query arrays over dp
         (
             qbin, q_cc, q_norms, q_norms_rev, q_lens, q_first_lower, k_ana,
-            k_ed, stop_exact, weights, score_threshold, have_freq,
+            k_ed, stop_exact, weights, score_threshold,
         ) = args
-        fn = self._sharded_fn(self._P, self._P2, window, use_stop_exact)
+        fn = self._sharded_fn(
+            self._P, self._P2, window, use_stop_exact,
+            bool(self.model.have_freq),
+        )
         return fn(
             *self._idx,
             qbin, q_cc, q_norms, q_norms_rev, q_lens, q_first_lower, k_ana,
-            k_ed, stop_exact, weights, score_threshold, have_freq,
+            k_ed, stop_exact, weights, score_threshold,
         )
 
     def _finalize_fused(self, out):

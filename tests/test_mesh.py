@@ -85,3 +85,75 @@ def test_sharded_small_model():
     got = model.find_variants_batch(["rite", "tire"], params)
     for w, g in zip(want, got):
         assert _result_tuples(model, g) == _result_tuples(model, w)
+
+
+def test_sharded_budget_escalation_and_overflow_split(eng_model, monkeypatch):
+    """Tiny pair budgets on the mesh: the pipeline must escalate through the
+    buckets and, at the top, split the batch rather than truncate — results
+    stay oracle-exact throughout."""
+    from analiticcl_tpu.ops import pipeline as pl_mod
+    from analiticcl_tpu.parallel.mesh import ShardedPipeline, make_mesh
+
+    monkeypatch.setattr(pl_mod, "P_BUCKETS", (64, 256))
+    monkeypatch.setattr(pl_mod, "P2_BUCKETS", (32, 64))
+
+    mesh = make_mesh(jax.devices(), dp=2)
+    pipe = ShardedPipeline(eng_model, mesh)
+    assert pipe._P == 64 and pipe._P2 == 32  # smallest buckets on CPU
+
+    params = SearchParameters(
+        max_anagram_distance=DistanceThreshold.absolute(3),
+        max_edit_distance=DistanceThreshold.absolute(2),
+        max_matches=10,
+        score_threshold=0.25,
+    )
+    eng_model.set_backend("oracle")
+    want = [eng_model.find_variants(q, params) for q in QUERIES]
+    # enough queries that per-shard pair totals overflow even the top bucket,
+    # forcing escalation AND the split fallback
+    queries = QUERIES * 8
+    got = pipe.find_variants_batch(queries, params)
+    for i, q in enumerate(queries):
+        assert _result_tuples(eng_model, got[i]) == _result_tuples(
+            eng_model, want[i % len(QUERIES)]
+        ), q
+    # budgets escalated to the top bucket along the way
+    assert pipe._P == 256 and pipe._P2 == 64
+
+
+def test_sharded_streaming_and_oversized_batch(eng_model):
+    """Streaming (depth-2) over the mesh and a batch larger than the max
+    bucket must both return per-query results identical to one-shot calls."""
+    from analiticcl_tpu.parallel.mesh import ShardedPipeline, make_mesh
+
+    mesh = make_mesh(jax.devices(), dp=2)
+    pipe = ShardedPipeline(eng_model, mesh)
+    params = SearchParameters(
+        max_anagram_distance=DistanceThreshold.absolute(2),
+        max_edit_distance=DistanceThreshold.absolute(2),
+        max_matches=5,
+    )
+    queries = QUERIES * 6  # 48 queries
+    want = pipe.collect(pipe.submit(QUERIES, params))
+
+    # streamed in sub-batches of 8
+    batches = [queries[i : i + 8] for i in range(0, len(queries), 8)]
+    streamed = []
+    for res in pipe.find_variants_stream(batches, params):
+        streamed.extend(res)
+    assert len(streamed) == len(queries)
+    for i, q in enumerate(queries):
+        assert _result_tuples(eng_model, streamed[i]) == _result_tuples(
+            eng_model, want[i % len(QUERIES)]
+        ), q
+
+    # oversized batch goes through the same streaming splitter
+    from analiticcl_tpu.ops import pipeline as pl_mod
+
+    big = queries * ((pl_mod.B_BUCKETS[-1] // len(queries)) + 2)
+    got = pipe.find_variants_batch(big, params)
+    assert len(got) == len(big)
+    for i in (0, len(QUERIES) + 3, len(big) - 1):
+        assert _result_tuples(eng_model, got[i]) == _result_tuples(
+            eng_model, want[i % len(QUERIES)]
+        )

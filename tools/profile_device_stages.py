@@ -85,6 +85,7 @@ def main():
 
     # assemble timing variants; stop_stage support is added to _query_core
     variants = [
+        ("noop", "noop"),
         ("stageA", "stageA"),
         ("resolve_pre", "resolve_pre"),
         ("resolve_tables", "resolve_tables"),
