@@ -156,10 +156,7 @@ def _dl_kernel(a_ref, b_ref, al_ref, bl_ref, ld_ref, lcs_ref, *, L: int, W: int)
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("max_len", "window", "interpret")
-)
-def dl_lcs_pallas(
+def _dl_lcs_pallas(
     a: jnp.ndarray,  # int32 [P, L], PAD_A padded
     a_len: jnp.ndarray,  # int32 [P]
     b: jnp.ndarray,  # int32 [P, L], PAD_B padded
@@ -213,3 +210,18 @@ def dl_lcs_pallas(
     ld = ld3.reshape(P)
     lcs = lcs3.reshape(P)
     return ld, lcs
+
+
+_dl_lcs_pallas_jit = jax.jit(
+    _dl_lcs_pallas, static_argnames=("max_len", "window", "interpret")
+)
+
+
+def dl_lcs_pallas(a, a_len, b, b_len, max_len, window, interpret=False):
+    """Jit on hardware; eager under ``interpret=True`` (tests): jitting the
+    interpreter lowers the whole unrolled DP into one giant XLA CPU program
+    whose compile costs minutes, while eager interpretation runs it op-by-op
+    in seconds."""
+    if interpret:
+        return _dl_lcs_pallas(a, a_len, b, b_len, max_len, window, True)
+    return _dl_lcs_pallas_jit(a, a_len, b, b_len, max_len, window)

@@ -13,6 +13,8 @@ bit-packing layout and the banded DP) without TPU hardware:
     order in _pack_bits_rows is the risk surface).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -59,8 +61,19 @@ def _random_pairs(rng, P, L, sigma):
 # interpret-mode cost grows with the unrolled program (L * band * W^2 terms):
 # window 5 exercises the same ring/margin logic as the production 12 bucket
 # at a CI-viable runtime; the 12 bucket itself is covered on TPU by the
-# bench's device-vs-oracle sweep.
-@pytest.mark.parametrize("window,L,seed", [(3, 8, 0), (3, 16, 1), (5, 12, 2)])
+# bench's device-vs-oracle sweep. The (5, 12) combination costs minutes of
+# XLA CPU compile (the interpreter lowers the whole unrolled DP), so it only
+# runs when ANALITICCL_SLOW_TESTS is set.
+_SLOW = pytest.mark.skipif(
+    not os.environ.get("ANALITICCL_SLOW_TESTS"),
+    reason="multi-minute interpret-mode compile; set ANALITICCL_SLOW_TESTS=1",
+)
+
+
+@pytest.mark.parametrize(
+    "window,L,seed",
+    [(3, 8, 0), (3, 16, 1), (5, 10, 3), pytest.param(5, 12, 2, marks=_SLOW)],
+)
 def test_dl_lcs_pallas_matches_xla_and_oracle(window, L, seed):
     rng = np.random.default_rng(seed)
     P = BLOCK  # one grid step keeps interpret mode fast
