@@ -102,9 +102,9 @@ BIG_L1 = np.int32(1 << 28)
 THRESHOLD_SLACK = 1e-4
 
 # static shape buckets
-B_BUCKETS = (8, 64, 256, 1024)
-P_BUCKETS = (2048, 8192, 32768, 131072, 524288)  # candidate-pair budget
-P2_BUCKETS = (2048, 16384, 65536, 131072)  # surviving-pair budget
+B_BUCKETS = (8, 64, 256, 1024, 4096)
+P_BUCKETS = (2048, 8192, 32768, 131072, 524288, 2097152)  # candidate-pair budget
+P2_BUCKETS = (2048, 16384, 65536, 131072, 262144)  # surviving-pair budget
 WINDOW_BUCKETS = (3, 12)  # DL exactness windows (12 = reference MAX_EDIT_DISTANCE)
 DL_CHUNK = 16384
 
@@ -541,12 +541,56 @@ def _query_core(
     )
 
 
+def _pack_query_out(out, B: int, P2: int) -> jnp.ndarray:
+    """Bundle the 10 query outputs into ONE flat int32 buffer.
+
+    On remote-attached TPUs every fetched array pays a tunnel round trip
+    (~8 ms each measured); a single device_get pays one. Layout (int32):
+    [o_q | o_c | 5 uint8 metric rows bitcast 4->1 | max_freq bitcast |
+    total_match, total_keep]. Unpacked by :meth:`DevicePipeline._finalize_fused`
+    via numpy views (bitcast byte order verified identical on the XLA CPU and
+    TPU backends).
+    """
+    (
+        o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case,
+        max_freq, total_match, total_keep,
+    ) = out
+    m = jnp.stack([o_ld, o_lcs, o_pf, o_sf, o_case]).reshape(-1)  # [5*P2]
+    if m.dtype == jnp.uint8:
+        pad = (-m.shape[0]) % 4
+        if pad:
+            m = jnp.concatenate([m, jnp.zeros(pad, jnp.uint8)])
+        m32 = jax.lax.bitcast_convert_type(m.reshape(-1, 4), jnp.int32)
+    else:  # L >= 256: metrics stayed int32
+        m32 = m
+    mf32 = jax.lax.bitcast_convert_type(max_freq, jnp.int32)
+    return jnp.concatenate(
+        [
+            o_q,
+            o_c,
+            m32,
+            mf32,
+            jnp.reshape(total_match, (1,)).astype(jnp.int32),
+            jnp.reshape(total_keep, (1,)).astype(jnp.int32),
+        ]
+    )
+
+
+def _query_core_packed(*args, have_freq, P, P2, window, use_stop_exact=True):
+    out = _query_core(
+        *args, have_freq=have_freq, P=P, P2=P2, window=window,
+        use_stop_exact=use_stop_exact,
+    )
+    B = args[7].shape[0]  # qbin
+    return _pack_query_out(out, B, P2)
+
+
 # single-device entry point; the multi-chip path wraps _query_core in a
 # shard_map over the lexicon axis (see parallel/mesh.py)
 _query_fused = partial(
     jax.jit,
     static_argnames=("P", "P2", "window", "use_stop_exact", "have_freq"),
-)(_query_core)
+)(_query_core_packed)
 
 
 class DevicePipeline:
@@ -600,15 +644,14 @@ class DevicePipeline:
             jnp.asarray(freqs),
             jnp.asarray(first_lower),
         )
-        # sticky budgets: start small, escalate on overflow, remember
-        # initial sticky pair budget: on real TPUs start at a size-based
-        # estimate so typical workloads compile one fused variant instead of
-        # escalating through every bucket (remote compiles run minutes)
-        if _use_pallas():
-            self._P = _bucket(max(P_BUCKETS[0], self.Ni // 2), P_BUCKETS)
-        else:
-            self._P = P_BUCKETS[0]
-        self._P2 = P2_BUCKETS[1] if _use_pallas() else P2_BUCKETS[0]
+        # sticky budgets: start small, escalate on overflow, remember —
+        # tracked per batch bucket B, since the expected pair totals scale
+        # with the number of queries in flight. On real TPUs start at a
+        # size-based estimate so typical workloads compile one fused variant
+        # instead of escalating through every bucket (remote compiles run
+        # minutes).
+        self._P_by_B = {}
+        self._P2_by_B = {}
         # rows whose vocab entries carry variant links need the exact object
         # ranking tail (expansion); everything else takes the fast numpy tail.
         # One sequential pass over the decoder, then a vectorized re-index
@@ -626,18 +669,52 @@ class DevicePipeline:
 
     # ------------------------------------------------------------------
 
+    def _budgets(self, B: int) -> Tuple[int, int]:
+        """Sticky (P, P2) pair budgets for batch bucket ``B`` (lazy init)."""
+        if B not in self._P_by_B:
+            scale = max(1, B // B_BUCKETS[-2])
+            if _use_pallas():
+                self._P_by_B[B] = _bucket(
+                    max(P_BUCKETS[0], (self.Ni // 2) * scale), P_BUCKETS
+                )
+                self._P2_by_B[B] = _bucket(P2_BUCKETS[1] * scale, P2_BUCKETS)
+            else:
+                self._P_by_B[B] = P_BUCKETS[0]
+                self._P2_by_B[B] = P2_BUCKETS[0]
+        return self._P_by_B[B], self._P2_by_B[B]
+
     def _submit_fused(self, args, window: int, use_stop_exact: bool = True):
         """Enqueue the fused device call without blocking (async dispatch)."""
-        return _query_fused(
+        B = args[0].shape[0]
+        P, P2 = self._budgets(B)
+        buf = _query_fused(
             *self._idx, *args, have_freq=bool(self.model.have_freq),
-            P=self._P, P2=self._P2, window=window,
+            P=P, P2=P2, window=window,
             use_stop_exact=use_stop_exact,
         )
+        return (buf, B, P2)
 
     def _finalize_fused(self, out):
-        """One bundled device->host transfer of a submitted call."""
-        got = jax.device_get(out)
-        return tuple(got[:8]) + (int(got[8]), int(got[9]))
+        """ONE device->host transfer, then numpy-view unpacking (layout from
+        :func:`_pack_query_out`)."""
+        buf, B, P2 = out
+        host = np.asarray(jax.device_get(buf))
+        o_q = host[:P2]
+        o_c = host[P2 : 2 * P2]
+        n8 = 5 * P2
+        if self.L < 256:  # metrics travelled as uint8, bitcast into int32
+            nw = (n8 + 3) // 4
+            met = host[2 * P2 : 2 * P2 + nw].view(np.uint8)[:n8].reshape(5, P2)
+            off = 2 * P2 + nw
+        else:
+            met = host[2 * P2 : 2 * P2 + n8].reshape(5, P2)
+            off = 2 * P2 + n8
+        o_ld, o_lcs, o_pf, o_sf, o_case = met
+        max_freq = host[off : off + B].view(np.uint32)
+        return (
+            o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case, max_freq,
+            int(host[off + B]), int(host[off + B + 1]),
+        )
 
     def _run_fused(self, args, window: int, use_stop_exact: bool = True):
         return self._finalize_fused(
@@ -795,8 +872,8 @@ class DevicePipeline:
             "B": B,
             "q_lens": q_lens,
             "out": out,
-            "submit_P": self._P,
-            "submit_P2": self._P2,
+            "submit_P": self._P_by_B[B],
+            "submit_P2": self._P2_by_B[B],
         }
 
     def _collect_split(self, state) -> List[List[VariantResult]]:
@@ -837,15 +914,16 @@ class DevicePipeline:
             max_freq, total_match, total_keep,
         ) = self._finalize_fused(state["out"])
         while True:
+            P, P2 = self._budgets(B)
             overflowed = False
-            if total_match > self._P and self._P < P_BUCKETS[-1]:
-                self._P = _bucket(total_match, P_BUCKETS)
+            if total_match > P and P < P_BUCKETS[-1]:
+                self._P_by_B[B] = _bucket(total_match, P_BUCKETS)
                 overflowed = True
-            if total_keep > self._P2 and self._P2 < P2_BUCKETS[-1]:
-                self._P2 = _bucket(total_keep, P2_BUCKETS)
+            if total_keep > P2 and P2 < P2_BUCKETS[-1]:
+                self._P2_by_B[B] = _bucket(total_keep, P2_BUCKETS)
                 overflowed = True
             if not overflowed:
-                if total_match > self._P or total_keep > self._P2:
+                if total_match > P or total_keep > P2:
                     # budgets are maxed out and the batch still overflows: the
                     # flat pair list is truncated query-major, which would
                     # silently zero the tail queries' candidate sets. Instead
@@ -856,7 +934,7 @@ class DevicePipeline:
                     print(
                         f"WARNING: pair budget overflow "
                         f"({total_match} matches / {total_keep} kept at "
-                        f"P={self._P}/P2={self._P2}); splitting batch",
+                        f"P={P}/P2={P2}); splitting batch",
                         file=sys.stderr,
                     )
                     dev_cm.__exit__(None, None, None)
@@ -966,7 +1044,7 @@ class DevicePipeline:
         if model.debug >= 2:
             print(
                 f"(batch of {len(active)}: {total_match} candidates, "
-                f"{total_keep} kept; P={self._P}, P2={self._P2}, "
+                f"{total_keep} kept; P={self._P_by_B.get(B)}, P2={self._P2_by_B.get(B)}, "
                 f"window={window})",
                 file=sys.stderr,
             )

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import pipeline as pl
-from ..ops.pipeline import BIG_L1, DevicePipeline, _query_core
+from ..ops.pipeline import BIG_L1, DevicePipeline, _query_core, _use_pallas
 
 
 def initialize_distributed(**kwargs) -> None:
@@ -116,18 +116,13 @@ class ShardedPipeline(DevicePipeline):
                 bins, cc, validrows, norms2, norm_lens, freqs, first_lower,
             )
         )
-        # sticky budgets are per (dp, lex) shard: size-based on real TPUs so
-        # typical workloads compile ONE fused variant instead of escalating
-        # through every bucket (remote compiles run minutes); smallest bucket
-        # on the CPU backend so tests exercise escalation cheaply
-        if _use_pallas():
-            self._P = pl._bucket(
-                max(pl.P_BUCKETS[0], self.Ni_shard // 2), pl.P_BUCKETS
-            )
-            self._P2 = pl.P2_BUCKETS[1]
-        else:
-            self._P = pl.P_BUCKETS[0]
-            self._P2 = pl.P2_BUCKETS[0]
+        # sticky budgets are per (dp, lex) shard and per batch bucket:
+        # size-based on real TPUs so typical workloads compile ONE fused
+        # variant instead of escalating through every bucket (remote compiles
+        # run minutes); smallest bucket on the CPU backend so tests exercise
+        # escalation cheaply
+        self._P_by_B = {}
+        self._P2_by_B = {}
         self._sharded_cache = {}
         decoder = model.decoder
         self._has_variants = np.fromiter(
@@ -209,14 +204,34 @@ class ShardedPipeline(DevicePipeline):
         self._sharded_cache[key] = fn
         return fn
 
+    def _budgets(self, B: int):
+        """Per-(shard, batch-bucket) sticky budgets (overrides the
+        single-device sizing: pair totals scale with the per-shard row count
+        and the batch size)."""
+        if B not in self._P_by_B:
+            scale = max(1, B // pl.B_BUCKETS[-2])
+            if _use_pallas():
+                self._P_by_B[B] = pl._bucket(
+                    max(pl.P_BUCKETS[0], (self.Ni_shard // 2) * scale),
+                    pl.P_BUCKETS,
+                )
+                self._P2_by_B[B] = pl._bucket(
+                    pl.P2_BUCKETS[1] * scale, pl.P2_BUCKETS
+                )
+            else:
+                self._P_by_B[B] = pl.P_BUCKETS[0]
+                self._P2_by_B[B] = pl.P2_BUCKETS[0]
+        return self._P_by_B[B], self._P2_by_B[B]
+
     def _submit_fused(self, args, window: int, use_stop_exact: bool = True):
         # shard query arrays over dp
         (
             qbin, q_cc, q_norms, q_norms_rev, q_lens, q_first_lower, k_ana,
             k_ed, stop_exact, weights, score_threshold,
         ) = args
+        P, P2 = self._budgets(qbin.shape[0])
         fn = self._sharded_fn(
-            self._P, self._P2, window, use_stop_exact,
+            P, P2, window, use_stop_exact,
             bool(self.model.have_freq),
         )
         return fn(

@@ -98,7 +98,9 @@ def main():
                 log(f"  MISMATCH {q!r}: oracle={o[:3]} device={d[:3]}")
         raise SystemExit("device/oracle mismatch — benchmark aborted")
 
-    B = 1024
+    # 4096-query device batches: the tunnel round trip (~30 ms) and the fixed
+    # dispatch cost amortize 4x vs 1024 (measured ~22k vs ~12k q/s median)
+    B = 4096
     t0 = time.time()
     model.find_variants_batch(queries[:B], params)
     log(f"warmup (compile): {time.time() - t0:.1f}s")

@@ -99,7 +99,7 @@ def test_sharded_budget_escalation_and_overflow_split(eng_model, monkeypatch):
 
     mesh = make_mesh(jax.devices(), dp=2)
     pipe = ShardedPipeline(eng_model, mesh)
-    assert pipe._P == 64 and pipe._P2 == 32  # smallest buckets on CPU
+    assert pipe._budgets(8) == (64, 32)  # smallest buckets on CPU
 
     params = SearchParameters(
         max_anagram_distance=DistanceThreshold.absolute(3),
@@ -118,7 +118,7 @@ def test_sharded_budget_escalation_and_overflow_split(eng_model, monkeypatch):
             eng_model, want[i % len(QUERIES)]
         ), q
     # budgets escalated to the top bucket along the way
-    assert pipe._P == 256 and pipe._P2 == 64
+    assert (max(pipe._P_by_B.values()), max(pipe._P2_by_B.values())) == (256, 64)
 
 
 def test_sharded_streaming_and_oversized_batch(eng_model):

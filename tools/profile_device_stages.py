@@ -66,7 +66,7 @@ def main():
     pipe.collect(state)
     args = state["args"]
     window = state["window"]
-    PP, P2 = pipe._P, pipe._P2
+    PP, P2 = state["submit_P"], state["submit_P2"]
     log(f"budgets: P={PP} P2={P2} window={window} Ni_pad={pipe.Ni_pad}")
 
     idx = pipe._idx
@@ -77,7 +77,8 @@ def main():
 
         def fn(*all_args):
             out = core(
-                *all_args, P=PP, P2=P2, window=window, stop_stage=stop
+                *all_args, have_freq=bool(model.have_freq),
+                P=PP, P2=P2, window=window, stop_stage=stop,
             )
             return out
 
@@ -99,7 +100,10 @@ def main():
     for name, stop in variants:
         if stop is None:
             fn = jax.jit(
-                lambda *a: core(*a, P=PP, P2=P2, window=window)
+                lambda *a: core(
+                    *a, have_freq=bool(model.have_freq),
+                    P=PP, P2=P2, window=window,
+                )
             )
         else:
             fn = run_prefix(stop)

@@ -29,6 +29,7 @@ def log(*a):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=12)
+    ap.add_argument("--batch-size", type=int, default=1024)
     ap.add_argument("--trace", default=None)
     ap.add_argument("--lexicon", default="/root/reference/examples/eng.aspell.lexicon")
     args = ap.parse_args()
@@ -50,7 +51,7 @@ def main():
     )
     rng = random.Random(42)
     words = [model.decoder[i].text for i in range(3, len(model.decoder), 7)]
-    B = 1024
+    B = args.batch_size
     n = args.batches * B
     queries = [corrupt(w, rng) for w in (words * (n // len(words) + 1))[:n]]
     batches = [queries[i : i + B] for i in range(0, n, B)]
@@ -63,7 +64,7 @@ def main():
     for _ in range(2):
         t0 = time.time()
         model.find_variants_batch(batches[0], params)
-        log(f"warm: {time.time() - t0:.2f}s (P={pipe._P}, P2={pipe._P2})")
+        log(f"warm: {time.time() - t0:.2f}s (P={pipe._P_by_B}, P2={pipe._P2_by_B})")
 
     # --- sequential: stages don't overlap, true per-stage cost ---
     pipe.stats.clear()
