@@ -102,9 +102,11 @@ BIG_L1 = np.int32(1 << 28)
 THRESHOLD_SLACK = 1e-4
 
 # static shape buckets
-B_BUCKETS = (8, 64, 256, 1024, 4096)
-P_BUCKETS = (2048, 8192, 32768, 131072, 524288, 2097152)  # candidate-pair budget
-P2_BUCKETS = (2048, 16384, 65536, 131072, 262144)  # surviving-pair budget
+B_BUCKETS = (8, 64, 256, 1024, 4096, 8192)
+B_BASE = 1024  # reference size for scaling per-bucket pair budgets
+P_BUCKETS = (2048, 8192, 32768, 131072, 262144, 393216, 524288, 786432,
+             1048576, 2097152)  # candidate-pair budget
+P2_BUCKETS = (2048, 16384, 32768, 49152, 65536, 98304, 131072, 262144)  # surviving-pair budget
 WINDOW_BUCKETS = (3, 12)  # DL exactness windows (12 = reference MAX_EDIT_DISTANCE)
 DL_CHUNK = 16384
 
@@ -545,16 +547,25 @@ def _pack_query_out(out, B: int, P2: int) -> jnp.ndarray:
     """Bundle the 10 query outputs into ONE flat int32 buffer.
 
     On remote-attached TPUs every fetched array pays a tunnel round trip
-    (~8 ms each measured); a single device_get pays one. Layout (int32):
-    [o_q | o_c | 5 uint8 metric rows bitcast 4->1 | max_freq bitcast |
-    total_match, total_keep]. Unpacked by :meth:`DevicePipeline._finalize_fused`
-    via numpy views (bitcast byte order verified identical on the XLA CPU and
-    TPU backends).
+    (~8 ms each measured) plus ~50 ms/MB of payload; a single device_get pays
+    one round trip, and the per-query column o_q (P2 int32, the largest
+    column) is replaced by B+1 query *bounds*: survivors are emitted
+    query-major, so o_q is non-decreasing and fully recoverable from its
+    run-length boundaries. Layout (int32):
+    [bounds (B+1) | o_c | 5 uint8 metric rows bitcast 4->1 | max_freq bitcast
+    | total_match, total_keep]. Unpacked by
+    :meth:`DevicePipeline._finalize_fused` via numpy views (bitcast byte
+    order verified identical on the XLA CPU and TPU backends).
     """
     (
         o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case,
         max_freq, total_match, total_keep,
     ) = out
+    # o_q is sorted (query-major emission; invalid slots hold B): bounds[q] =
+    # first slot of query q, bounds[B] = number of valid survivor slots
+    bounds = jnp.searchsorted(
+        o_q, jnp.arange(B + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
     m = jnp.stack([o_ld, o_lcs, o_pf, o_sf, o_case]).reshape(-1)  # [5*P2]
     if m.dtype == jnp.uint8:
         pad = (-m.shape[0]) % 4
@@ -566,7 +577,7 @@ def _pack_query_out(out, B: int, P2: int) -> jnp.ndarray:
     mf32 = jax.lax.bitcast_convert_type(max_freq, jnp.int32)
     return jnp.concatenate(
         [
-            o_q,
+            bounds,
             o_c,
             m32,
             mf32,
@@ -672,12 +683,12 @@ class DevicePipeline:
     def _budgets(self, B: int) -> Tuple[int, int]:
         """Sticky (P, P2) pair budgets for batch bucket ``B`` (lazy init)."""
         if B not in self._P_by_B:
-            scale = max(1, B // B_BUCKETS[-2])
+            scale = max(1, B // B_BASE)
             if _use_pallas():
                 self._P_by_B[B] = _bucket(
                     max(P_BUCKETS[0], (self.Ni // 2) * scale), P_BUCKETS
                 )
-                self._P2_by_B[B] = _bucket(P2_BUCKETS[1] * scale, P2_BUCKETS)
+                self._P2_by_B[B] = _bucket(12288 * scale, P2_BUCKETS)
             else:
                 self._P_by_B[B] = P_BUCKETS[0]
                 self._P2_by_B[B] = P2_BUCKETS[0]
@@ -696,20 +707,28 @@ class DevicePipeline:
 
     def _finalize_fused(self, out):
         """ONE device->host transfer, then numpy-view unpacking (layout from
-        :func:`_pack_query_out`)."""
+        :func:`_pack_query_out`). Returns only the ``n`` valid survivor rows
+        (o_q rebuilt from the transferred bounds), so downstream host work
+        scales with real survivors rather than the padded budget."""
         buf, B, P2 = out
         host = np.asarray(jax.device_get(buf))
-        o_q = host[:P2]
-        o_c = host[P2 : 2 * P2]
+        bounds = host[: B + 1]
+        n = int(bounds[B])
+        o_q = np.repeat(
+            np.arange(B, dtype=np.int32), np.diff(bounds).astype(np.int64)
+        )
+        off = B + 1
+        o_c = host[off : off + n]
+        off += P2
         n8 = 5 * P2
         if self.L < 256:  # metrics travelled as uint8, bitcast into int32
             nw = (n8 + 3) // 4
-            met = host[2 * P2 : 2 * P2 + nw].view(np.uint8)[:n8].reshape(5, P2)
-            off = 2 * P2 + nw
+            met = host[off : off + nw].view(np.uint8)[:n8].reshape(5, P2)
+            off += nw
         else:
-            met = host[2 * P2 : 2 * P2 + n8].reshape(5, P2)
-            off = 2 * P2 + n8
-        o_ld, o_lcs, o_pf, o_sf, o_case = met
+            met = host[off : off + n8].reshape(5, P2)
+            off += n8
+        o_ld, o_lcs, o_pf, o_sf, o_case = (row[:n] for row in met)
         max_freq = host[off : off + B].view(np.uint32)
         return (
             o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case, max_freq,
@@ -838,18 +857,22 @@ class DevicePipeline:
             [w.ld, w.lcs, w.prefix, w.suffix, w.case, w.sum()], dtype=np.float32
         )
 
-        args = (
-            jnp.asarray(qbin),
-            jnp.asarray(q_cc),
-            jnp.asarray(q_norms),
-            jnp.asarray(q_norms_rev),
-            jnp.asarray(q_lens),
-            jnp.asarray(q_first_lower),
-            jnp.asarray(k_ana),
-            jnp.asarray(k_ed),
-            jnp.asarray(stop_exact),
-            jnp.asarray(weights_arr),
-            jnp.float32(params.score_threshold),
+        # ONE batched host->device transfer for all query arrays (each
+        # separate jnp.asarray pays its own dispatch on the remote tunnel)
+        args = jax.device_put(
+            (
+                qbin,
+                q_cc,
+                q_norms,
+                q_norms_rev,
+                q_lens,
+                q_first_lower,
+                k_ana,
+                k_ed,
+                stop_exact,
+                weights_arr,
+                np.float32(params.score_threshold),
+            )
         )
 
         # DL exactness window: the smallest static bucket covering every

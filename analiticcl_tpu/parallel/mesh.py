@@ -209,15 +209,13 @@ class ShardedPipeline(DevicePipeline):
         single-device sizing: pair totals scale with the per-shard row count
         and the batch size)."""
         if B not in self._P_by_B:
-            scale = max(1, B // pl.B_BUCKETS[-2])
+            scale = max(1, B // pl.B_BASE)
             if _use_pallas():
                 self._P_by_B[B] = pl._bucket(
                     max(pl.P_BUCKETS[0], (self.Ni_shard // 2) * scale),
                     pl.P_BUCKETS,
                 )
-                self._P2_by_B[B] = pl._bucket(
-                    pl.P2_BUCKETS[1] * scale, pl.P2_BUCKETS
-                )
+                self._P2_by_B[B] = pl._bucket(12288 * scale, pl.P2_BUCKETS)
             else:
                 self._P_by_B[B] = pl.P_BUCKETS[0]
                 self._P2_by_B[B] = pl.P2_BUCKETS[0]

@@ -121,10 +121,15 @@ def test_sharded_budget_escalation_and_overflow_split(eng_model, monkeypatch):
     assert (max(pipe._P_by_B.values()), max(pipe._P2_by_B.values())) == (256, 64)
 
 
-def test_sharded_streaming_and_oversized_batch(eng_model):
+def test_sharded_streaming_and_oversized_batch(eng_model, monkeypatch):
     """Streaming (depth-2) over the mesh and a batch larger than the max
     bucket must both return per-query results identical to one-shot calls."""
     from analiticcl_tpu.parallel.mesh import ShardedPipeline, make_mesh
+    from analiticcl_tpu.ops import pipeline as pl_mod
+
+    # shrink the bucket ladder: "oversized" should exercise the splitter, not
+    # compile a multi-thousand-query CPU program
+    monkeypatch.setattr(pl_mod, "B_BUCKETS", (8, 64))
 
     mesh = make_mesh(jax.devices(), dp=2)
     pipe = ShardedPipeline(eng_model, mesh)

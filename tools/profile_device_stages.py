@@ -53,7 +53,9 @@ def main():
     )
     rng = random.Random(42)
     words = [model.decoder[i].text for i in range(3, len(model.decoder), 7)]
-    queries = [corrupt(w, rng) for w in words[:1024]]
+    import os as _os
+    NB = int(_os.environ.get("PROF_B", "1024"))
+    queries = [corrupt(w, rng) for w in (words * (NB // len(words) + 1))[:NB]]
 
     pipe = model._device if model._device else None
     from analiticcl_tpu.ops.pipeline import get_device_pipeline
