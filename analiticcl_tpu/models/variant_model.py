@@ -713,7 +713,7 @@ class VariantModel:
         return [self._find_variants_oracle(text, params) for text in inputs]
 
     def find_variants_stream(
-        self, inputs: Sequence[str], params: SearchParameters, batch_size: int = 1024
+        self, inputs: Sequence[str], params: SearchParameters, batch_size: int = 4096
     ):
         """Generator over per-input results with double-buffered device
         execution: the device computes batch N+1 while the host ranks batch N
@@ -1341,15 +1341,6 @@ class VariantModel:
         deduplicated into a single device pass (learn mode feeds whole corpus
         batches through here; the reference round-trips per line,
         lib.rs:1040-1056)."""
-        from ..search import (
-            BoundaryStrength,
-            classify_boundaries,
-            find_boundaries,
-            find_match_ngrams,
-            redundant_match,
-            remap_offsets_to_unicodepoints,
-        )
-
         if self.index is None:
             if any(texts):
                 print(
@@ -1358,6 +1349,72 @@ class VariantModel:
                     file=sys.stderr,
                 )
             return [[] for _ in texts]
+        preps, uniq, all_texts = self._fam_prepare(texts, params)
+        found = (
+            self.find_variants_batch(all_texts, params) if all_texts else []
+        )
+        return self._fam_consolidate(preps, uniq, found, params)
+
+    def find_all_matches_stream(
+        self, texts, params: SearchParameters, depth: int = 2
+    ):
+        """Pipelined :meth:`find_all_matches` over an iterable of texts.
+
+        Keeps up to ``depth`` texts' combined segment lookups in flight on
+        the device while the host consolidates earlier texts (lattice DP +
+        LM scoring) — the search-mode analogue of
+        :meth:`find_variants_stream`. Yields one ``List[Match]`` per text,
+        in order. The CLI search driver feeds its ~100-line groups through
+        this, hiding most of the device round trip behind consolidation."""
+        backend = self._backend
+        if backend == "auto":
+            backend = (
+                "device" if (self.index and self.index.size >= 64) else "oracle"
+            )
+        if backend != "device" or self.index is None:
+            for text in texts:
+                yield self.find_all_matches(text, params)
+            return
+        if self._device is None:
+            from ..ops.pipeline import get_device_pipeline
+
+            self._device = get_device_pipeline(self)
+        from ..ops.pipeline import B_BUCKETS
+
+        pipe = self._device
+        pending = []
+
+        def flush_one():
+            preps, uniq, st, fb = pending.pop(0)
+            found = pipe.collect(st) if st is not None else fb
+            return self._fam_consolidate(preps, uniq, found, params)[0]
+
+        for text in texts:
+            preps, uniq, all_texts = self._fam_prepare([text], params)
+            if all_texts and len(all_texts) <= B_BUCKETS[-1]:
+                item = (preps, uniq, pipe.submit(all_texts, params), None)
+            else:
+                fb = (
+                    self.find_variants_batch(all_texts, params)
+                    if all_texts
+                    else []
+                )
+                item = (preps, uniq, None, fb)
+            pending.append(item)
+            if len(pending) > depth:
+                yield flush_one()
+        while pending:
+            yield flush_one()
+
+    def _fam_prepare(self, texts: Sequence[str], params: SearchParameters):
+        """find_all_matches phase 1: segmentation + segment collection
+        across ALL texts (one deduplicated lookup list)."""
+        from ..search import (
+            BoundaryStrength,
+            classify_boundaries,
+            find_boundaries,
+            find_match_ngrams,
+        )
 
         # phase 1: segmentation + segment collection across ALL texts
         preps: List[Optional[Tuple]] = []
@@ -1417,11 +1474,15 @@ class VariantModel:
                             all_texts.append(segment.text)
                 per_order.append(pending)
             preps.append((text, hard_batches, per_order))
+        return preps, uniq, all_texts
 
-        # phase 2: one combined device pass over every unique segment
-        found = self.find_variants_batch(all_texts, params) if all_texts else []
+    def _fam_consolidate(
+        self, preps, uniq, found, params: SearchParameters
+    ) -> List[List[Match]]:
+        """find_all_matches phase 3: attach looked-up variants to segments,
+        apply the redundancy filter, consolidate sequences per hard batch."""
+        from ..search import redundant_match, remap_offsets_to_unicodepoints
 
-        # phase 3: attach + consolidate per text
         results: List[List[Match]] = []
         for prep in preps:
             if prep is None:
@@ -1459,6 +1520,111 @@ class VariantModel:
     # ------------------------------------------------------------------
     # Sequence consolidation (lib.rs:2087-2495) — lattice n-best decoding
     # ------------------------------------------------------------------
+
+    @staticmethod
+    def _best_path(nstates, in_arcs, final_states):
+        """Scalar Viterbi fast path (the common no-LM/no-rules case, ~4x
+        cheaper than the per-state numpy n-best arrays of
+        :meth:`_nbest_paths`): strict ``<`` keeps the first minimum in
+        enumeration order — the same tie-break as the stable argsort there
+        (equivalence fuzzed in tests/test_search.py)."""
+        inf = float("inf")
+        v_cost = [0.0] + [inf] * (nstates - 1)
+        v_src = [-1] * nstates
+        v_sym = [-1] * nstates
+        for state in range(1, nstates):
+            best = inf
+            bsrc = -1
+            bsym = -1
+            for src, cost, symbol in in_arcs[state]:
+                c = v_cost[src] + cost
+                if c < best:
+                    best = c
+                    bsrc = src
+                    bsym = -1 if symbol is None else symbol
+            v_cost[state] = best
+            v_src[state] = bsrc
+            v_sym[state] = bsym
+        fbest = min((v_cost[s], s) for s in sorted(final_states))
+        if fbest[0] == inf:  # no reachable final state
+            return []
+        state = fbest[1]
+        syms: List[int] = []
+        while state > 0:
+            if v_sym[state] >= 0:
+                syms.append(v_sym[state])
+            state = v_src[state]
+        syms.reverse()
+        return [(fbest[0], tuple(syms))]
+
+    @staticmethod
+    def _nbest_paths(nstates, in_arcs, final_states, nbest):
+        """Exact n-best paths over the topologically ordered lattice DAG.
+
+        Per-state hypothesis arrays, each sorted by (cost, construction
+        order); the construction order reproduces the reference n-best's
+        deterministic tie-break (arcs enumerated source-hyp-major, and a
+        hyp created at a lower state always precedes one at a higher state).
+        Returns [(cost, symbol-tuple)] best-first.
+        """
+        hyp_cost: List[np.ndarray] = [np.zeros(1)] * nstates
+        hyp_src: List[np.ndarray] = [np.full(1, -1, np.int32)] * nstates
+        hyp_shidx: List[np.ndarray] = [np.full(1, -1, np.int32)] * nstates
+        hyp_sym: List[np.ndarray] = [np.full(1, -1, np.int32)] * nstates
+        hyp_n = [0] * nstates
+        hyp_n[0] = 1
+        for state in range(1, nstates):
+            parts_c, parts_s, parts_h, parts_y = [], [], [], []
+            for src, cost, symbol in in_arcs[state]:
+                n = hyp_n[src]
+                if n == 0:
+                    continue
+                parts_c.append(hyp_cost[src][:n] + cost)
+                parts_s.append(np.full(n, src, np.int32))
+                parts_h.append(np.arange(n, dtype=np.int32))
+                parts_y.append(
+                    np.full(n, -1 if symbol is None else symbol, np.int32)
+                )
+            if not parts_c:
+                hyp_n[state] = 0
+                continue
+            ec = np.concatenate(parts_c)
+            # stable sort on cost == sort by (cost, serial): the concatenated
+            # order IS the serial enumeration order
+            order = np.argsort(ec, kind="stable")[:nbest]
+            hyp_cost[state] = ec[order]
+            hyp_src[state] = np.concatenate(parts_s)[order]
+            hyp_shidx[state] = np.concatenate(parts_h)[order]
+            hyp_sym[state] = np.concatenate(parts_y)[order]
+            hyp_n[state] = len(order)
+
+        # collect final hypotheses; ties break by (state, hidx), which equals
+        # the global serial order (see above)
+        collected_refs: List[Tuple[float, int, int]] = []
+        for state in sorted(final_states):
+            for hidx in range(hyp_n[state]):
+                collected_refs.append(
+                    (float(hyp_cost[state][hidx]), state, hidx)
+                )
+        collected_refs.sort(key=lambda x: (x[0], x[1], x[2]))
+        collected_refs = collected_refs[:nbest]
+
+        def reconstruct(state: int, hidx: int) -> Tuple[int, ...]:
+            syms: List[int] = []
+            while state >= 0:
+                symbol = int(hyp_sym[state][hidx])
+                if symbol >= 0:
+                    syms.append(symbol)
+                state, hidx = (
+                    int(hyp_src[state][hidx]), int(hyp_shidx[state][hidx])
+                )
+            syms.reverse()
+            return tuple(syms)
+
+        return [
+            (cost, reconstruct(state, hidx))
+            for cost, state, hidx in collected_refs
+        ]
 
     def most_likely_sequence(
         self,
@@ -1575,64 +1741,12 @@ class VariantModel:
             for target, cost, symbol in arcs[state]:
                 in_arcs[target].append((state, cost, symbol))
 
-        # per-state hypothesis arrays, each sorted by (cost, construction
-        # order); the construction order reproduces the reference n-best's
-        # deterministic tie-break (arcs enumerated source-hyp-major, and a
-        # hyp created at a lower state always precedes one at a higher state)
-        hyp_cost: List[np.ndarray] = [np.zeros(1)] * nstates
-        hyp_src: List[np.ndarray] = [np.full(1, -1, np.int32)] * nstates
-        hyp_shidx: List[np.ndarray] = [np.full(1, -1, np.int32)] * nstates
-        hyp_sym: List[np.ndarray] = [np.full(1, -1, np.int32)] * nstates
-        hyp_n = [0] * nstates
-        hyp_n[0] = 1
-        for state in range(1, nstates):
-            parts_c, parts_s, parts_h, parts_y = [], [], [], []
-            for src, cost, symbol in in_arcs[state]:
-                n = hyp_n[src]
-                if n == 0:
-                    continue
-                parts_c.append(hyp_cost[src][:n] + cost)
-                parts_s.append(np.full(n, src, np.int32))
-                parts_h.append(np.arange(n, dtype=np.int32))
-                parts_y.append(
-                    np.full(n, -1 if symbol is None else symbol, np.int32)
-                )
-            if not parts_c:
-                hyp_n[state] = 0
-                continue
-            ec = np.concatenate(parts_c)
-            # stable sort on cost == sort by (cost, serial): the concatenated
-            # order IS the serial enumeration order
-            order = np.argsort(ec, kind="stable")[:nbest]
-            hyp_cost[state] = ec[order]
-            hyp_src[state] = np.concatenate(parts_s)[order]
-            hyp_shidx[state] = np.concatenate(parts_h)[order]
-            hyp_sym[state] = np.concatenate(parts_y)[order]
-            hyp_n[state] = len(order)
-
-        # collect final hypotheses; ties break by (state, hidx), which equals
-        # the global serial order (see above)
-        collected_refs: List[Tuple[float, int, int]] = []
-        for state in sorted(final_states):
-            for hidx in range(hyp_n[state]):
-                collected_refs.append((float(hyp_cost[state][hidx]), state, hidx))
-        collected_refs.sort(key=lambda x: (x[0], x[1], x[2]))
-        collected_refs = collected_refs[:nbest]
-
-        def reconstruct(state: int, hidx: int) -> Tuple[int, ...]:
-            syms: List[int] = []
-            while state >= 0:
-                symbol = int(hyp_sym[state][hidx])
-                if symbol >= 0:
-                    syms.append(symbol)
-                state, hidx = int(hyp_src[state][hidx]), int(hyp_shidx[state][hidx])
-            syms.reverse()
-            return tuple(syms)
-
-        collected = [
-            (cost, reconstruct(state, hidx))
-            for cost, state, hidx in collected_refs
-        ]
+        if nbest == 1:
+            collected = self._best_path(nstates, in_arcs, final_states)
+        else:
+            collected = self._nbest_paths(
+                nstates, in_arcs, final_states, nbest
+            )
 
         sequences: List[SequenceHyp] = []
         best_lm_perplexity = 999999.0
@@ -1714,9 +1828,18 @@ class VariantModel:
                 norm_lm_score = math.log(best_lm_perplexity / seq.perplexity)
             else:
                 norm_lm_score = 0.0
-            norm_variant_score = math.log(
-                best_variant_cost / seq.variant_cost
-            ) if seq.variant_cost > 0 else 0.0
+            # Rust's f64::ln(0.0) is -inf (no panic): a single-boundary hard
+            # batch has best_variant_cost == 0, and the reference's
+            # (0/cost).ln() scores such sequences -inf (lib.rs:2399-2403);
+            # math.log would raise instead, so mirror Rust explicitly
+            if seq.variant_cost <= 0:
+                norm_variant_score = 0.0
+            elif best_variant_cost <= 0:
+                norm_variant_score = float("-inf")
+            else:
+                norm_variant_score = math.log(
+                    best_variant_cost / seq.variant_cost
+                )
             norm_context_score = (
                 math.log(seq.context_score / best_context_score)
                 if best_context_score > 0 and seq.context_score > 0

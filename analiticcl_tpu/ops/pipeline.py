@@ -102,7 +102,7 @@ BIG_L1 = np.int32(1 << 28)
 THRESHOLD_SLACK = 1e-4
 
 # static shape buckets
-B_BUCKETS = (8, 64, 256, 1024, 4096, 8192)
+B_BUCKETS = (8, 64, 256, 1024, 2048, 4096, 8192)
 B_BASE = 1024  # reference size for scaling per-bucket pair budgets
 P_BUCKETS = (2048, 8192, 32768, 131072, 262144, 393216, 524288, 786432,
              1048576, 2097152)  # candidate-pair budget
@@ -116,6 +116,56 @@ def _bucket(value: int, buckets: Sequence[int]) -> int:
         if value <= b:
             return b
     return buckets[-1]
+
+
+_BUDGET_HINTS: Optional[dict] = None
+
+
+def _budget_hint_path():
+    import os
+
+    d = jax.config.jax_compilation_cache_dir
+    return os.path.join(d, "budget_hints.json") if d else None
+
+
+def _budget_hints() -> dict:
+    """Best-effort cross-process budget hints (see DevicePipeline._budgets)."""
+    global _BUDGET_HINTS
+    if _BUDGET_HINTS is None:
+        _BUDGET_HINTS = {}
+        path = _budget_hint_path()
+        if path:
+            import json
+
+            try:
+                with open(path) as f:
+                    _BUDGET_HINTS = {
+                        k: tuple(v) for k, v in json.load(f).items()
+                    }
+            except (OSError, ValueError):
+                pass
+    return _BUDGET_HINTS
+
+
+def _save_budget_hint(key: str, value: Tuple[int, int]) -> None:
+    hints = _budget_hints()
+    if hints.get(key) == value:
+        return
+    hints[key] = value
+    path = _budget_hint_path()
+    if not path:
+        return
+    import json
+    import os
+
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({k: list(v) for k, v in hints.items()}, f)
+        os.replace(tmp, path)
+    except OSError:
+        pass
 
 
 def _resolve_thresholds(threshold, lens: np.ndarray, cap: int) -> np.ndarray:
@@ -680,11 +730,28 @@ class DevicePipeline:
 
     # ------------------------------------------------------------------
 
+    def _hint_key(self, B: int) -> str:
+        return f"{jax.default_backend()}:{self.Ni}:{B}"
+
     def _budgets(self, B: int) -> Tuple[int, int]:
-        """Sticky (P, P2) pair budgets for batch bucket ``B`` (lazy init)."""
+        """Sticky (P, P2) pair budgets for batch bucket ``B`` (lazy init).
+
+        Initial values come from (a) a cross-process hint file recording
+        where budgets settled for this (backend, lexicon size, B) last time —
+        on the axon remote backend the XLA persistent compilation cache is
+        unreliable (the tunnel identity leaks into the cache key), so every
+        escalation costs a fresh ~30 s device compile and starting at the
+        settled bucket halves warmup — or (b) a size-based estimate."""
         if B not in self._P_by_B:
-            scale = max(1, B // B_BASE)
-            if _use_pallas():
+            hint = (
+                _budget_hints().get(self._hint_key(B))
+                if _use_pallas()
+                else None
+            )
+            if hint and hint[0] in P_BUCKETS and hint[1] in P2_BUCKETS:
+                self._P_by_B[B], self._P2_by_B[B] = hint
+            elif _use_pallas():
+                scale = max(1, B // B_BASE)
                 self._P_by_B[B] = _bucket(
                     max(P_BUCKETS[0], (self.Ni // 2) * scale), P_BUCKETS
                 )
@@ -693,6 +760,13 @@ class DevicePipeline:
                 self._P_by_B[B] = P_BUCKETS[0]
                 self._P2_by_B[B] = P2_BUCKETS[0]
         return self._P_by_B[B], self._P2_by_B[B]
+
+    def _record_budgets(self, B: int) -> None:
+        """Persist escalated budgets so the next process starts there."""
+        if _use_pallas():  # CPU compiles are cheap; keep test runs isolated
+            _save_budget_hint(
+                self._hint_key(B), (self._P_by_B[B], self._P2_by_B[B])
+            )
 
     def _submit_fused(self, args, window: int, use_stop_exact: bool = True):
         """Enqueue the fused device call without blocking (async dispatch)."""
@@ -703,6 +777,13 @@ class DevicePipeline:
             P=P, P2=P2, window=window,
             use_stop_exact=use_stop_exact,
         )
+        # enqueue the device->host copy NOW: it fires as soon as the fused
+        # call finishes, overlapping the tunnel transfer with whatever host
+        # work (ranking, consolidation) runs before collect()
+        try:
+            buf.copy_to_host_async()
+        except AttributeError:
+            pass
         return (buf, B, P2)
 
     def _finalize_fused(self, out):
@@ -945,6 +1026,8 @@ class DevicePipeline:
             if total_keep > P2 and P2 < P2_BUCKETS[-1]:
                 self._P2_by_B[B] = _bucket(total_keep, P2_BUCKETS)
                 overflowed = True
+            if overflowed:
+                self._record_budgets(B)
             if not overflowed:
                 if total_match > P or total_keep > P2:
                     # budgets are maxed out and the batch still overflows: the

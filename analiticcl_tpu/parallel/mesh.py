@@ -204,13 +204,27 @@ class ShardedPipeline(DevicePipeline):
         self._sharded_cache[key] = fn
         return fn
 
+    def _hint_key(self, B: int) -> str:
+        # budgets are per shard: keep mesh hints separate from single-device
+        return (
+            f"{jax.default_backend()}:mesh{self.n_dp}x{self.n_lex}:"
+            f"{self.Ni}:{B}"
+        )
+
     def _budgets(self, B: int):
         """Per-(shard, batch-bucket) sticky budgets (overrides the
         single-device sizing: pair totals scale with the per-shard row count
         and the batch size)."""
         if B not in self._P_by_B:
             scale = max(1, B // pl.B_BASE)
-            if _use_pallas():
+            hint = (
+                pl._budget_hints().get(self._hint_key(B))
+                if _use_pallas()
+                else None
+            )
+            if hint and hint[0] in pl.P_BUCKETS and hint[1] in pl.P2_BUCKETS:
+                self._P_by_B[B], self._P2_by_B[B] = hint
+            elif _use_pallas():
                 self._P_by_B[B] = pl._bucket(
                     max(pl.P_BUCKETS[0], (self.Ni_shard // 2) * scale),
                     pl.P_BUCKETS,

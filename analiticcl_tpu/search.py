@@ -8,6 +8,7 @@ the heavy per-segment variant lookups are batched onto the device by
 from __future__ import annotations
 
 import enum
+import re
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence as Seq, Tuple
 
@@ -119,10 +120,34 @@ class BoundaryStrength(enum.Enum):
     HARD = 3
 
 
+_ASCII_NONALPHA = re.compile(rb"[^A-Za-z]+")
+
+
 def find_boundaries(text: str) -> List[Match]:
     """Identify token boundaries: runs of non-alphabetic characters, plus a
     final (possibly empty) boundary (search.rs:190-233). Offsets are UTF-8
-    byte offsets, matching the reference."""
+    byte offsets, matching the reference.
+
+    Pure-ASCII text (the overwhelmingly common case) takes a regex scan —
+    ~20x faster than the per-character unicode loop, and equivalent because
+    ``str.isalpha()`` over ASCII is exactly ``[A-Za-z]`` (fuzzed against the
+    generic path in tests/test_search.py)."""
+    if text.isascii():
+        data = text.encode()
+        boundaries = [
+            Match(
+                text=m.group().decode(),
+                offset=Offset(m.start(), m.end()),
+            )
+            for m in _ASCII_NONALPHA.finditer(data)
+        ]
+        if not boundaries or boundaries[-1].offset.end != len(data):
+            boundaries.append(Match(text="", offset=Offset(len(data), len(data))))
+        return boundaries
+    return _find_boundaries_generic(text)
+
+
+def _find_boundaries_generic(text: str) -> List[Match]:
     boundaries: List[Match] = []
     begin: Optional[int] = None  # byte offset
     bytepos = 0

@@ -54,7 +54,7 @@ def _model(lexicon):
     return model, build_s
 
 
-def _throughput(model, queries, params, budget_s=30.0, batch=1024):
+def _throughput(model, queries, params, budget_s=30.0, batch=4096):
     model.find_variants_batch(queries[:batch], params)  # compile
     model.find_variants_batch(queries[:batch], params)  # settle budgets
     tail = len(queries) % batch
@@ -108,20 +108,25 @@ def search_text():
     rng = random.Random(3)
     words = [model.decoder[i].text for i in range(3, len(model.decoder), 17)]
     sentences = []
-    for _ in range(64):
+    for _ in range(512):
         sent = " ".join(corrupt(rng.choice(words), rng) for _ in range(12))
         sentences.append(sent + ".")
-    text = "\n".join(sentences)
+    text = "\n".join(sentences[:64])
     params = SearchParameters(
         max_anagram_distance=DistanceThreshold.absolute(3),
         max_edit_distance=DistanceThreshold.absolute(2),
         max_matches=5,
         max_ngram=2,
     )
+    # CLI-shaped workload: 100-line groups streamed (device lookups for
+    # group N+1 in flight while group N consolidates), as process_search does
+    groups = ["\n".join(sentences[i : i + 100]) for i in range(0, 512, 100)]
     model.find_all_matches(text, params)  # compile all shape variants
+    list(model.find_all_matches_stream(groups, params))  # settle budgets
     t0 = time.time()
-    matches = model.find_all_matches(text, params)
+    outs = list(model.find_all_matches_stream(groups, params))
     dt = time.time() - t0
+    matches = [m for o in outs for m in o]
     tokens = sum(len(s.split()) for s in sentences)
     return {
         "scenario": "search_text",
@@ -134,15 +139,16 @@ def search_text():
 def learn():
     model, build_s = _model(ENG)
     rng = random.Random(4)
-    words = [model.decoder[i].text for i in range(3, len(model.decoder), 23)]
-    corpus = [corrupt(w, rng) for w in words[:4096]]
+    words = [model.decoder[i].text for i in range(3, len(model.decoder), 7)]
+    corpus = [corrupt(w, rng) for w in words[:16384]]
     params = SearchParameters(
         max_anagram_distance=DistanceThreshold.absolute(3),
         max_edit_distance=DistanceThreshold.absolute(2),
         max_matches=3,
         score_threshold=0.7,
     )
-    model.find_variants_batch(corpus[:1024], params)  # compile
+    # compile exactly the bucket the strict-learn stream uses
+    list(model.find_variants_stream(corpus, params))
     t0 = time.time()
     count = model.learn_variants(corpus, params, strict=True, auto_build=True)
     dt = time.time() - t0
@@ -314,6 +320,44 @@ def micro():
     return out
 
 
+def sharded_query():
+    """Query throughput through the ShardedPipeline (mesh path): on this box
+    a 1x1 mesh over the single reachable chip — same shard_map program as a
+    real v5e-8 slice (dp x lex), so it times the collective/merge overhead
+    the multichip path adds (SURVEY.md §2.8; tests/test_mesh.py validates
+    bit-parity on a virtual 8-device CPU mesh)."""
+    import jax
+
+    from analiticcl_tpu.parallel.mesh import ShardedPipeline, make_mesh
+
+    model, build_s = _model(ENG)
+    mesh = make_mesh(jax.devices()[:1], dp=1)
+    pipe = ShardedPipeline(model, mesh)
+    rng = random.Random(1)
+    words = [model.decoder[i].text for i in range(3, len(model.decoder), 7)]
+    queries = [corrupt(w, rng) for w in words[:16384]]
+    params = SearchParameters(
+        max_anagram_distance=DistanceThreshold.absolute(3),
+        max_edit_distance=DistanceThreshold.absolute(2),
+        max_matches=10,
+    )
+    batch = 4096
+    pipe.collect(pipe.submit(queries[:batch], params))  # compile
+    pipe.collect(pipe.submit(queries[:batch], params))  # settle budgets
+    batches = [queries[i : i + batch] for i in range(0, len(queries), batch)]
+    t0 = time.time()
+    done = 0
+    for res in pipe.find_variants_stream(batches, params):
+        done += len(res)
+    qps = done / (time.time() - t0)
+    return {
+        "scenario": "sharded_query",
+        "qps": round(qps, 1),
+        "mesh": f"{mesh.shape['dp']}x{mesh.shape['lex']}",
+        "build_s": round(build_s, 2),
+    }
+
+
 SCENARIOS = {
     "query_eng": query_eng,
     "micro": micro,
@@ -322,6 +366,7 @@ SCENARIOS = {
     "learn": learn,
     "build_1m": build_1m,
     "confusables_errors": confusables_errors,
+    "sharded_query": sharded_query,
 }
 
 

@@ -337,3 +337,106 @@ def test_lm_score_tokens_batch_matches_scalar():
     want = [model.lm_score_tokens(toks) for toks in token_lists]
     for g, w, toks in zip(got, want, token_lists):
         assert g == w, (toks, g, w)
+
+
+def test_nbest_equal_cost_tie_order():
+    """Characterize the self-declared divergence from rustfst's n-best set
+    ordering (docs/STATUS.md): when hypotheses tie on *path cost* AND on every
+    sequence-selection key, this engine breaks the tie by serial enumeration
+    order — hypotheses created from a lower lattice state (and, within a
+    state, from arcs in match-enumeration order) come first. rustfst's
+    ``shortest_path_with_config`` (reference lib.rs:2313-2317) may order an
+    equal-cost *set* differently; the reference's final selection is likewise
+    unspecified under a full tie, so only determinism and the documented
+    tie-break are pinned here.
+
+    Construction: the input token 'zink' has two equal-frequency, equal-
+    distance variants ('sink', 'wink'; one substitution each) with equal LM
+    bigram counts, making every selection key (variant cost, LM perplexity)
+    identical across the competing sequences.
+    """
+    alphabet, _ = get_test_alphabet()
+    model = VariantModel.new_with_alphabet(alphabet, Weights(), 0)
+    for w in ("I", "sink", "wink", "you"):
+        model.add_to_vocabulary(w, 2, VocabParams())
+    lm = VocabParams(vocab_type=VocabType.LM)
+    model.add_to_vocabulary("<bos> I", 2, lm)
+    model.add_to_vocabulary("I sink", 2, lm)
+    model.add_to_vocabulary("I wink", 2, lm)
+    model.add_to_vocabulary("you <eos>", 2, lm)
+    model.build()
+    params = get_test_searchparams().with_max_ngram(1)
+
+    # the two variants tie on every distance metric and frequency
+    variants = model.find_variants("zink", params)
+    texts = [model.decoder[v.vocab_id].text for v in variants]
+    assert set(texts[:2]) == {"sink", "wink"}
+    s0, s1 = variants[0], variants[1]
+    assert s0.score(params.freq_weight) == s1.score(params.freq_weight)
+    # variant-result tie order itself is canonical (anavalue, vocab id)
+    expect_winner = texts[0]
+
+    runs = []
+    for _ in range(3):
+        matches = model.find_all_matches("I zink you", params)
+        picked = [
+            model.match_to_str(m) for m in matches if m.text == "zink"
+        ]
+        assert picked, matches
+        runs.append(picked[0])
+    # deterministic across runs, and equal to the serial-order winner: the
+    # lattice enumerates variant arcs in find_variants order, so under a full
+    # tie the first-ranked variant wins
+    assert runs == [expect_winner] * 3
+
+
+def test_best_path_equals_nbest_first():
+    """The scalar Viterbi fast path must agree with the n-best DP's first
+    hypothesis — cost, symbols, AND tie-break — on random DAGs with many
+    deliberate cost ties."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        nstates = int(rng.integers(2, 12))
+        in_arcs = [[] for _ in range(nstates)]
+        for state in range(1, nstates):
+            for _arc in range(int(rng.integers(1, 4))):
+                src = int(rng.integers(0, state))
+                cost = float(rng.integers(1, 4))  # small ints => frequent ties
+                symbol = (
+                    None if rng.random() < 0.2 else int(rng.integers(0, 50))
+                )
+                in_arcs[state].append((src, cost, symbol))
+        finals = sorted(
+            set(int(x) for x in rng.integers(1, nstates, size=2))
+        )
+        best = VariantModel._best_path(nstates, in_arcs, finals)
+        ref = VariantModel._nbest_paths(nstates, in_arcs, finals, 5)
+        assert best[0] == ref[0], (in_arcs, finals, best, ref[:2])
+
+
+def test_find_boundaries_ascii_fast_path_equivalence():
+    """The ASCII regex fast path must produce byte-identical boundaries to
+    the generic per-character scanner on random ASCII strings (and the
+    generic path must be taken for non-ASCII)."""
+    import random as _random
+
+    from analiticcl_tpu.search import _find_boundaries_generic
+
+    rng = _random.Random(11)
+    chars = "abcXYZ .,-'_!?\n\t0123456789\"();:"
+    for _ in range(300):
+        n = rng.randrange(0, 40)
+        s = "".join(rng.choice(chars) for _ in range(n))
+        fast = find_boundaries(s)
+        slow = _find_boundaries_generic(s)
+        assert [(b.text, b.offset.begin, b.offset.end) for b in fast] == [
+            (b.text, b.offset.begin, b.offset.end) for b in slow
+        ], repr(s)
+    # non-ASCII goes through the generic path (equivalence by construction)
+    s = "thиnk правда x"
+    assert [(b.text, b.offset.begin, b.offset.end) for b in find_boundaries(s)] == [
+        (b.text, b.offset.begin, b.offset.end)
+        for b in _find_boundaries_generic(s)
+    ]
