@@ -733,6 +733,8 @@ class VariantModel:
             from ..ops.pipeline import get_device_pipeline
 
             self._device = get_device_pipeline(self)
+        # huge lexicons cap the per-call batch (see DevicePipeline.max_B)
+        batch_size = min(batch_size, self._device.max_B)
         batches = (
             inputs[start : start + batch_size]
             for start in range(0, len(inputs), batch_size)
@@ -1379,8 +1381,6 @@ class VariantModel:
             from ..ops.pipeline import get_device_pipeline
 
             self._device = get_device_pipeline(self)
-        from ..ops.pipeline import B_BUCKETS
-
         pipe = self._device
         pending = []
 
@@ -1391,7 +1391,7 @@ class VariantModel:
 
         for text in texts:
             preps, uniq, all_texts = self._fam_prepare([text], params)
-            if all_texts and len(all_texts) <= B_BUCKETS[-1]:
+            if all_texts and len(all_texts) <= pipe.max_B:
                 item = (preps, uniq, pipe.submit(all_texts, params), None)
             else:
                 fb = (

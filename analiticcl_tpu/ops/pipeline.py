@@ -104,8 +104,11 @@ THRESHOLD_SLACK = 1e-4
 # static shape buckets
 B_BUCKETS = (8, 64, 256, 1024, 2048, 4096, 8192)
 B_BASE = 1024  # reference size for scaling per-bucket pair budgets
-P_BUCKETS = (2048, 8192, 32768, 131072, 262144, 393216, 524288, 786432,
-             1048576, 2097152)  # candidate-pair budget
+# candidate-pair budget; capped at 768k pairs — the remote TPU compile
+# helper crashes compiling >=1M-pair programs (verified 786432 ok, 1048576
+# and 2097152 both HTTP-500), and past-cap overflows take the batch-split
+# path instead (collect -> _collect_split)
+P_BUCKETS = (2048, 8192, 32768, 131072, 262144, 393216, 524288, 786432)
 P2_BUCKETS = (2048, 16384, 32768, 49152, 65536, 98304, 131072, 262144)  # surviving-pair budget
 WINDOW_BUCKETS = (3, 12)  # DL exactness windows (12 = reference MAX_EDIT_DISTANCE)
 DL_CHUNK = 16384
@@ -671,6 +674,14 @@ class DevicePipeline:
         unit = 2048 if _use_pallas() else 128
         Ni_pad = max(unit, -(-self.Ni // unit) * unit)
         self.Ni_pad = Ni_pad
+        # Largest batch bucket this lexicon supports: the remote TPU compile
+        # helper crashes on fused programs whose stage-A bit-mask exceeds
+        # ~1.2G cells (B x Ni_pad); 1024x1M and 4096x121k are verified good,
+        # 4096x1M is a verified HTTP-500.
+        self.max_B = B_BUCKETS[0]
+        for b in B_BUCKETS:
+            if b * Ni_pad <= 1_288_490_188:
+                self.max_B = b
         pad = Ni_pad - self.Ni
 
         # padded arrays are filled into preallocated buffers: one pass each
@@ -824,13 +835,13 @@ class DevicePipeline:
     def find_variants_batch(
         self, inputs: Sequence[str], params: SearchParameters
     ) -> List[List[VariantResult]]:
-        if len(inputs) > B_BUCKETS[-1]:
+        if len(inputs) > self.max_B:
             # pipeline oversized batches through the depth-2 stream instead
             # of running the sub-batches serially
             out: List[List[VariantResult]] = []
             sub = [
-                inputs[start : start + B_BUCKETS[-1]]
-                for start in range(0, len(inputs), B_BUCKETS[-1])
+                inputs[start : start + self.max_B]
+                for start in range(0, len(inputs), self.max_B)
             ]
             for res in self.find_variants_stream(sub, params):
                 out.extend(res)
@@ -857,7 +868,7 @@ class DevicePipeline:
 
     def submit(self, inputs: Sequence[str], params: SearchParameters):
         """Host prep + async device dispatch; pair with :meth:`collect`."""
-        assert len(inputs) <= B_BUCKETS[-1]
+        assert len(inputs) <= self.max_B, (len(inputs), self.max_B)
         model = self.model
         enc = model.enc
         n = len(inputs)

@@ -83,6 +83,12 @@ class ShardedPipeline(DevicePipeline):
         Ni_pad = max(unit, -(-self.Ni // unit) * unit)
         self.Ni_pad = Ni_pad
         self.Ni_shard = Ni_pad // self.n_lex
+        # per-device stage-A mask is B_local x Ni_shard (see
+        # DevicePipeline.max_B for the compile-size ceiling)
+        self.max_B = pl.B_BUCKETS[0]
+        for b in pl.B_BUCKETS:
+            if max(1, b // self.n_dp) * self.Ni_shard <= 1_288_490_188:
+                self.max_B = b
         pad = Ni_pad - self.Ni
 
         t_levels = np.arange(self.T, dtype=np.int32)[None, None, :]
