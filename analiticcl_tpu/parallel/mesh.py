@@ -165,16 +165,8 @@ class ShardedPipeline(DevicePipeline):
             check_vma=False,
             in_specs=idx_specs + q_specs + rep_specs,
             out_specs=(
-                P(("dp", "lex")),  # o_q (globalized query rows)
-                P(("dp", "lex")),  # o_c (globalized candidate rows)
-                P(("dp", "lex")),  # o_ld
-                P(("dp", "lex")),  # o_lcs
-                P(("dp", "lex")),  # o_pf
-                P(("dp", "lex")),  # o_sf
-                P(("dp", "lex")),  # o_case
+                P(("dp", "lex")),  # per-shard packed int32 buffer
                 P("dp"),  # max_freq (pmax over lex)
-                P(("dp", "lex")),  # per-shard total_match
-                P(("dp", "lex")),  # per-shard total_keep
             ),
         )
         def step(
@@ -200,11 +192,32 @@ class ShardedPipeline(DevicePipeline):
             o_c = o_c + lex_i * Ni_shard
             # combine per-query stats across lexicon shards over ICI
             max_freq = jax.lax.pmax(max_freq, "lex")
-            return (
-                o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case,
-                max_freq,
-                total_match[None], total_keep[None],
+
+            # pack this shard's outputs into ONE flat int32 buffer (same
+            # motivation as pipeline._pack_query_out: every fetched array
+            # pays a host round trip). o_q is non-decreasing within the
+            # shard, so it travels as B_global+1 run-length bounds.
+            bounds = jnp.searchsorted(
+                o_q, jnp.arange(B_global + 1, dtype=jnp.int32), side="left"
+            ).astype(jnp.int32)
+            m = jnp.stack([o_ld, o_lcs, o_pf, o_sf, o_case]).reshape(-1)
+            if m.dtype == jnp.uint8:
+                padn = (-m.shape[0]) % 4
+                if padn:
+                    m = jnp.concatenate([m, jnp.zeros(padn, jnp.uint8)])
+                m32 = jax.lax.bitcast_convert_type(m.reshape(-1, 4), jnp.int32)
+            else:
+                m32 = m
+            buf = jnp.concatenate(
+                [
+                    bounds,
+                    o_c,
+                    m32,
+                    jnp.reshape(total_match, (1,)).astype(jnp.int32),
+                    jnp.reshape(total_keep, (1,)).astype(jnp.int32),
+                ]
             )
+            return buf, max_freq
 
         fn = jax.jit(step)
         self._sharded_cache[key] = fn
@@ -247,27 +260,65 @@ class ShardedPipeline(DevicePipeline):
             qbin, q_cc, q_norms, q_norms_rev, q_lens, q_first_lower, k_ana,
             k_ed, stop_exact, weights, score_threshold,
         ) = args
-        P, P2 = self._budgets(qbin.shape[0])
+        B = qbin.shape[0]
+        P, P2 = self._budgets(B)
         fn = self._sharded_fn(
             P, P2, window, use_stop_exact,
             bool(self.model.have_freq),
         )
-        return fn(
+        buf, max_freq = fn(
             *self._idx,
             qbin, q_cc, q_norms, q_norms_rev, q_lens, q_first_lower, k_ana,
             k_ed, stop_exact, weights, score_threshold,
         )
+        try:
+            buf.copy_to_host_async()
+            max_freq.copy_to_host_async()
+        except AttributeError:
+            pass
+        return (buf, max_freq, B, P2)
 
     def _finalize_fused(self, out):
-        got = jax.device_get(out)
-        (
-            o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case,
-            max_freq, total_match, total_keep,
-        ) = got
-        # overflow checks are per (dp, lex) shard
+        """TWO device fetches (packed per-shard buffers + max_freq) instead
+        of ten; per-shard numpy unpacking mirrors the single-device
+        :meth:`DevicePipeline._finalize_fused`."""
+        buf, max_freq, B, P2 = out
+        host = np.asarray(jax.device_get(buf))
+        max_freq = np.asarray(jax.device_get(max_freq)).view(np.uint32)
+        nsh = self.n_dp * self.n_lex
+        L_buf = host.shape[0] // nsh
+        n8 = 5 * P2
+        nw = (n8 + 3) // 4 if self.L < 256 else n8
+        parts_q, parts_c, parts_m = [], [], []
+        total_match = total_keep = 0
+        for s in range(nsh):
+            sh = host[s * L_buf : (s + 1) * L_buf]
+            bounds = sh[: B + 1]
+            n = int(bounds[B])
+            off = B + 1
+            parts_q.append(
+                np.repeat(
+                    np.arange(B, dtype=np.int32),
+                    np.diff(bounds).astype(np.int64),
+                )
+            )
+            parts_c.append(sh[off : off + n])
+            off += P2
+            if self.L < 256:
+                met = sh[off : off + nw].view(np.uint8)[:n8].reshape(5, P2)
+            else:
+                met = sh[off : off + n8].reshape(5, P2)
+            off += nw
+            parts_m.append(met[:, :n])
+            # overflow checks are per (dp, lex) shard
+            total_match = max(total_match, int(sh[off]))
+            total_keep = max(total_keep, int(sh[off + 1]))
+        o_q = np.concatenate(parts_q)
+        o_c = np.concatenate(parts_c)
+        o_ld, o_lcs, o_pf, o_sf, o_case = np.concatenate(parts_m, axis=1)
         return (
             o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case, max_freq,
-            int(np.max(total_match)), int(np.max(total_keep)),
+            total_match, total_keep,
         )
 
 
