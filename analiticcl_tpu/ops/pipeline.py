@@ -471,7 +471,9 @@ def _query_core(
     if stop_stage == "resolve":
         return _probe(pq, pc)
 
-    cn2 = norms2[pc]  # [P, 2L]: one gather for forward + reversed
+    # [P, 2L]: one gather for forward + reversed; norms may travel as int8
+    # (gathers are byte-bound) and widen here, a cheap dense pass
+    cn2 = norms2[pc].astype(jnp.int32)
     cn = cn2[:, :L]
     cnr = cn2[:, L:]
     cl = jnp.where(pvalid, norm_lens[pc], 0)
@@ -480,8 +482,8 @@ def _query_core(
 
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
     pq_safe = jnp.minimum(pq, B - 1)
-    qn = q_norms[pq_safe]
-    qnr = q_norms_rev[pq_safe]
+    qn = q_norms[pq_safe].astype(jnp.int32)
+    qnr = q_norms_rev[pq_safe].astype(jnp.int32)
     ql = jnp.where(pvalid, q_lens[pq_safe], 0)
     a = jnp.where(pos < ql[:, None], qn, PAD_A)
     b = jnp.where(pos < cl[:, None], cn, PAD_B)
@@ -575,19 +577,22 @@ def _query_core(
     # Metric columns travel as uint8 (kept pairs have ld <= k_ed <= 12 and
     # lcs/prefix/suffix <= L): device->host transfer is the third-largest
     # per-batch cost on remote-attached TPUs.
-    if L < 256:
-        ld8, lcs8, pf8, sf8 = (
-            x.astype(jnp.uint8) for x in (jnp.minimum(ld, 255), lcs, pf, sf)
-        )
-    else:
-        ld8, lcs8, pf8, sf8 = ld, lcs, pf, sf
     out = _compact(
         keep,
-        (pq, pc, ld8, lcs8, pf8, sf8, samecase.astype(jnp.uint8)),
+        (pq, pc, ld, lcs, pf, sf, samecase),
         P2,
-        (B, 0, 0, 0, 0, 0, 0),
+        (B, 0, 0, 0, 0, 0, False),
     )
     o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case = out
+    # narrow AFTER compaction: the [P2] converts are ~8x cheaper than the
+    # same converts at [P], and kept pairs have ld <= k_ed <= 12 and
+    # lcs/prefix/suffix <= L, so uint8 is lossless below L=256
+    if L < 256:
+        o_ld = jnp.minimum(o_ld, 255).astype(jnp.uint8)
+        o_lcs, o_pf, o_sf = (
+            x.astype(jnp.uint8) for x in (o_lcs, o_pf, o_sf)
+        )
+    o_case = o_case.astype(jnp.uint8)
     if stop_stage == "compact_sum":
         return _probe(o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case)
     return (
@@ -695,7 +700,13 @@ class DevicePipeline:
         cc = np.full(Ni_pad, BIG_L1, dtype=np.int32)
         cc[: self.Ni] = index.charcounts
         wn = index.norms.shape[1]
-        norms2 = np.zeros((Ni_pad, 2 * self.L), dtype=np.int32)
+        # norm indices are alphabet positions (tiny ints): store int8 when
+        # they fit — the per-pair norm gather is latency/byte-bound and this
+        # quarters its traffic ([P, 2L] int32 -> int8); _query_core widens
+        # back to int32 right after the gather (a cheap dense pass)
+        max_norm_idx = int(index.norms.max(initial=0))
+        self._norm_dtype = np.int8 if max_norm_idx < 120 else np.int32
+        norms2 = np.zeros((Ni_pad, 2 * self.L), dtype=self._norm_dtype)
         norms2[: self.Ni, :wn] = index.norms
         norms2[: self.Ni, self.L : self.L + wn] = index.norms_reversed()
         norm_lens = np.zeros(Ni_pad, dtype=np.int32)
@@ -905,7 +916,7 @@ class DevicePipeline:
 
         B = _bucket(len(active), B_BUCKETS)
         act = np.asarray(active)
-        q_norms = np.zeros((B, L), dtype=np.int32)
+        q_norms = np.zeros((B, L), dtype=self._norm_dtype)
         q_norms[: len(active)] = all_norms[act]
         q_lens = np.zeros(B, dtype=np.int32)
         q_lens[: len(active)] = all_lens[act]
@@ -915,7 +926,7 @@ class DevicePipeline:
             rev_idx >= 0,
             np.take_along_axis(q_norms, np.maximum(rev_idx, 0), axis=1),
             0,
-        ).astype(np.int32)
+        ).astype(self._norm_dtype)
         q_counts = np.zeros((B, A), dtype=np.int32)
         q_counts[: len(active)] = enc.counts_from_norms(
             all_norms[act], all_lens[act]

@@ -97,14 +97,18 @@ class ShardedPipeline(DevicePipeline):
         cc = np.pad(index.charcounts, (0, pad), constant_values=BIG_L1).astype(
             np.int32
         )
+        # int8 norms when indices fit (see DevicePipeline: the per-pair norm
+        # gather is byte-bound; _query_core widens after the gather)
+        max_norm_idx = int(index.norms.max(initial=0))
+        self._norm_dtype = np.int8 if max_norm_idx < 120 else np.int32
         norms2 = np.concatenate(
             [
                 np.pad(
-                    index.norms.astype(np.int32),
+                    index.norms.astype(self._norm_dtype),
                     ((0, pad), (0, self.L - index.norms.shape[1])),
                 ),
                 np.pad(
-                    index.norms_reversed(),
+                    index.norms_reversed().astype(self._norm_dtype),
                     ((0, pad), (0, self.L - index.norms.shape[1])),
                 ),
             ],
