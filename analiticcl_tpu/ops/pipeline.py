@@ -471,20 +471,48 @@ def _query_core(
     if stop_stage == "resolve":
         return _probe(pq, pc)
 
-    # [P, 2L]: one gather for forward + reversed; norms may travel as int8
-    # (gathers are byte-bound) and widen here, a cheap dense pass
-    cn2 = norms2[pc].astype(jnp.int32)
+    # Per-pair gathers are latency-bound (~1 ms per [P]-column regardless of
+    # width): concatenate per-row attributes into ONE table per side first —
+    # the dense concat costs microseconds, and each side then pays a single
+    # gather instead of three to five. Lens, thresholds, and flags fit the
+    # narrow norm dtype whenever L < 127 (k_ed <= 12, lens <= L, flags 0/1).
+    pack8 = norms2.dtype == jnp.int8 and L < 127
+    tdt = jnp.int8 if pack8 else jnp.int32
+    cand_tab = jnp.concatenate(
+        [
+            norms2,
+            norm_lens[:, None].astype(tdt),
+            first_lower[:, None].astype(tdt),
+        ],
+        axis=1,
+    )
+    cg = cand_tab[pc]  # [P, 2L+2]: the ONLY candidate-side gather (+freqs)
+    cn2 = cg[:, : 2 * L].astype(jnp.int32)
     cn = cn2[:, :L]
     cnr = cn2[:, L:]
-    cl = jnp.where(pvalid, norm_lens[pc], 0)
-    cf = freqs[pc]
-    cfl = first_lower[pc]
+    cl = jnp.where(pvalid, cg[:, 2 * L].astype(jnp.int32), 0)
+    cfl = cg[:, 2 * L + 1].astype(bool)
+    if have_freq:
+        cf = freqs[pc]
 
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
     pq_safe = jnp.minimum(pq, B - 1)
-    qn = q_norms[pq_safe].astype(jnp.int32)
-    qnr = q_norms_rev[pq_safe].astype(jnp.int32)
-    ql = jnp.where(pvalid, q_lens[pq_safe], 0)
+    q_tab = jnp.concatenate(
+        [
+            q_norms.astype(tdt),
+            q_norms_rev.astype(tdt),
+            q_lens[:, None].astype(tdt),
+            k_ed[:, None].astype(tdt),
+            q_first_lower[:, None].astype(tdt),
+        ],
+        axis=1,
+    )
+    qg = q_tab[pq_safe]  # [P, 2L+3]: the ONLY query-side gather
+    qn = qg[:, :L].astype(jnp.int32)
+    qnr = qg[:, L : 2 * L].astype(jnp.int32)
+    ql = jnp.where(pvalid, qg[:, 2 * L].astype(jnp.int32), 0)
+    k_ed_pair = qg[:, 2 * L + 1].astype(jnp.int32)
+    q_fl_pair = qg[:, 2 * L + 2].astype(bool)
     a = jnp.where(pos < ql[:, None], qn, PAD_A)
     b = jnp.where(pos < cl[:, None], cn, PAD_B)
     a_rev = jnp.where(pos < ql[:, None], qnr, PAD_A)
@@ -527,7 +555,7 @@ def _query_core(
     lcs = jnp.where(w_lcs > 0, lcs, 0)
     pf = jnp.where(w_pf > 0, pf, 0)
     sf = jnp.where(w_sf > 0, sf, 0)
-    samecase = jnp.where(w_case > 0, cfl == q_first_lower[pq_safe], True)
+    samecase = jnp.where(w_case > 0, cfl == q_fl_pair, True)
 
     qlen_f = jnp.maximum(ql, 1).astype(jnp.float32)
     ds = jnp.where(ld > ql, 0.0, 1.0 - ld.astype(jnp.float32) / qlen_f)
@@ -539,7 +567,7 @@ def _query_core(
         + jnp.where(samecase, w_case, 0.0)
     ) / w_sum
 
-    pass_ed = pvalid & (ld <= k_ed[pq_safe])
+    pass_ed = pvalid & (ld <= k_ed_pair)
     if use_stop_exact:
         # stop-at-exact restriction: drop non-exact pairs of queries with
         # exacts (compiled in only when the stop criterion can need it — the
