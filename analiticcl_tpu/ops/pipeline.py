@@ -182,6 +182,37 @@ def _resolve_thresholds(threshold, lens: np.ndarray, cap: int) -> np.ndarray:
     return np.minimum(threshold.limit, lens // 2).astype(np.int32)
 
 
+def _searchsorted_radix(vals, targets):
+    """``searchsorted(vals, targets, side='left')`` for sorted int32 ``vals``.
+
+    ``jnp.searchsorted`` lowers to a log2(n)-iteration while loop of
+    DEPENDENT [T]-gathers (~7 ms at n=393k on TPU). This radix form samples
+    group tops (64-ary), resolves the group with ONE broadcast compare per
+    level plus one contiguous row gather from the reshaped array — 2-3
+    levels total for the sizes here, all streaming VPU work.
+    """
+    GS = 64
+    BIGV = jnp.iinfo(jnp.int32).max
+    n = vals.shape[0]
+    levels = []
+    cur = vals
+    while cur.shape[0] > GS:
+        npad = -(-cur.shape[0] // GS) * GS
+        mat = jnp.pad(
+            cur, (0, npad - cur.shape[0]), constant_values=BIGV
+        ).reshape(-1, GS)
+        levels.append(mat)
+        cur = mat[:, GS - 1]
+    top = jnp.pad(cur, (0, GS - cur.shape[0]), constant_values=BIGV)
+    idx = jnp.sum((top[None, :] < targets[:, None]).astype(jnp.int32), axis=1)
+    for mat in reversed(levels):
+        row = jnp.minimum(idx, mat.shape[0] - 1)
+        sl = mat[row]  # [T, GS] contiguous row gather
+        j = jnp.sum((sl < targets[:, None]).astype(jnp.int32), axis=1)
+        idx = row * GS + j
+    return jnp.minimum(idx, n)
+
+
 def _compact(flat_mask, payload_arrays, P: int, fill_values):
     """Stable compaction: gather payloads of set mask positions into P slots.
 
@@ -192,7 +223,7 @@ def _compact(flat_mask, payload_arrays, P: int, fill_values):
     csum = jnp.cumsum(flat_mask.astype(jnp.int32))
     n = flat_mask.shape[0]
     # slot p holds the first flat position where csum == p+1
-    idx = jnp.searchsorted(csum, jnp.arange(1, P + 1, dtype=jnp.int32), side="left")
+    idx = _searchsorted_radix(csum, jnp.arange(1, P + 1, dtype=jnp.int32))
     valid = idx < n
     idx_safe = jnp.minimum(idx, n - 1)
     outs = []
@@ -374,17 +405,44 @@ def _query_core(
     targets = jnp.arange(1, P + 1, dtype=jnp.int32)
 
     qcum = jnp.cumsum(nmatch.astype(jnp.int32))  # [B] inclusive
-    # q_of[p] = #{q : qcum[q] < t[p]} == searchsorted(qcum, t, 'left'),
-    # computed as a streaming reduction instead of dependent gather rounds
-    q_of = jnp.sum(
-        (qcum[None, :] < targets[:, None]).astype(jnp.int32), axis=1
-    )
-    pvalid_slot = q_of < B
-    q_safe = jnp.minimum(q_of, B - 1)
-    qexcl = qcum - nmatch.astype(jnp.int32)  # exclusive cumsum
-    r_q = targets - qexcl[q_safe]  # 1-based rank within the query
+    # q_of[p] = #{q : qcum[q] < t[p]} == searchsorted(qcum, t, 'left').
+    # A flat [P, B] compare-sum costs P*B ops (1.6G at B=4096, ~7 ms): use
+    # the same radix descent as the block search below — per-level group
+    # cumsums, one broadcast compare at the top, then one tiny-table row
+    # gather + in-register compare per level. The descent also yields the
+    # 1-based within-query rank directly (no qexcl gather).
+    GSQ = 64
+    laneq = jnp.arange(GSQ, dtype=jnp.int32)[None, :]
+    q_tables = []
+    cl_q = nmatch.astype(jnp.int32)[None, :]  # [1, B]
+    while cl_q.shape[1] > GSQ:
+        M = cl_q.shape[1]
+        Mp = -(-M // GSQ) * GSQ
+        grp = jnp.pad(cl_q, ((0, 0), (0, Mp - M))).reshape(1, Mp // GSQ, GSQ)
+        within = jnp.cumsum(grp, axis=2)
+        q_tables.append(within.reshape(Mp // GSQ, GSQ))
+        cl_q = within[:, :, GSQ - 1]
+    top_q = jnp.cumsum(
+        jnp.pad(cl_q, ((0, 0), (0, GSQ - cl_q.shape[1]))), axis=1
+    )[0]  # [GSQ]
+    total_m = qcum[B - 1]
+    pvalid_slot = targets <= total_m
+    r = targets
+    j = jnp.sum((top_q[None, :] < r[:, None]).astype(jnp.int32), axis=1)
+    j = jnp.minimum(j, GSQ - 1)
+    r = r - jnp.sum(jnp.where(laneq == (j - 1)[:, None], top_q[None, :], 0), axis=1)
+    idxq = j
+    for tab in reversed(q_tables):
+        row_q = jnp.minimum(idxq, tab.shape[0] - 1)
+        sl = tab[row_q]  # [P, GSQ] row gather from a tiny table
+        j = jnp.sum((sl < r[:, None]).astype(jnp.int32), axis=1)
+        j = jnp.minimum(j, GSQ - 1)
+        r = r - jnp.sum(jnp.where(laneq == (j - 1)[:, None], sl, 0), axis=1)
+        idxq = idxq * GSQ + j
+    q_safe = jnp.minimum(idxq, B - 1)
+    r_q = r  # 1-based rank within the query
     if stop_stage == "resolve_pre":
-        return _probe(q_of, r_q)
+        return _probe(q_safe, r_q)
 
     # Block within the query: a 32-ary radix descent instead of a binary
     # search. The binary search costs log2(M_lex) DEPENDENT per-element
