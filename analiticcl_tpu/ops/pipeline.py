@@ -218,7 +218,10 @@ def _compact(flat_mask, payload_arrays, P: int, fill_values):
 
     Implemented as cumsum + searchsorted (an inverse-permutation *gather*)
     rather than a scatter: TPU scatters over tens of millions of updates are
-    ~5x slower than the equivalent batched binary search.
+    ~5x slower than the equivalent batched binary search. (Stacking the
+    payload columns into one [n, k] row gather measured ~5 ms SLOWER at
+    P=393k: the dense stack write costs more than the shared-index gathers
+    save.)
     """
     csum = jnp.cumsum(flat_mask.astype(jnp.int32))
     n = flat_mask.shape[0]
@@ -371,11 +374,11 @@ def _query_core(
     from .stage_a import _row_block, stage_a_masks_pallas, stage_a_masks_xla
 
     if _use_pallas() and Ni_pad % _row_block(B) == 0:
-        packed_t, exact_t, counts_t, nmatch, nexact = stage_a_masks_pallas(
+        packed_q8, exact_q8, counts_t, nmatch, nexact = stage_a_masks_pallas(
             bins, cc, qbin, q_cc, k_ana
         )
     else:
-        packed_t, exact_t, counts_t, nmatch, nexact = stage_a_masks_xla(
+        packed_q8, exact_q8, counts_t, nmatch, nexact = stage_a_masks_xla(
             bins, cc, validrows, qbin, q_cc, k_ana
         )
     # StopAtExactMatch (lib.rs:1158-1174): when a query has an exact anagram,
@@ -384,11 +387,13 @@ def _query_core(
     use_exact = stop_exact & (nexact > 0)
     total_match = nmatch.sum()
     if stop_stage == "stageA":
-        return _probe(packed_t[::64], exact_t[::64], counts_t, nmatch, nexact)
+        return _probe(
+            packed_q8[:, ::64], exact_q8[:, ::64], counts_t, nmatch, nexact
+        )
 
-    # hierarchical compaction over block counts. Stage-A outputs are
-    # lexicon-major ([Ni/8, B] etc.); everything below runs in the q-major
-    # flat (query, candidate) order the pair list uses.
+    # hierarchical compaction over block counts. Stage-A outputs arrive
+    # query-major directly from the kernel; everything below runs in the
+    # q-major flat (query, candidate) order the pair list uses.
     #
     # Slot -> (query, block) resolution. Random gathers on TPU cost ~1ms per
     # [P]-column regardless of element width, so the design minimizes gathered
@@ -399,9 +404,7 @@ def _query_core(
     # masks are re-laid out q-major and bitcast to u32 words) instead of 16
     # B-strided bytes.
     BLK = 128
-    WPB = BLK // 32  # u32 words per block
     M_lex = Ni_pad // BLK
-    NW = Ni_pad // 32  # u32 words per query row
     targets = jnp.arange(1, P + 1, dtype=jnp.int32)
 
     qcum = jnp.cumsum(nmatch.astype(jnp.int32))  # [B] inclusive
@@ -453,7 +456,7 @@ def _query_core(
     # child with in-register compare-sums. ceil(log32(M_lex)) row gathers
     # total: 2 for a 120k-row lexicon, 3 up to 4M rows.
     GS = 32
-    counts_q = counts_t.T  # [B, M_lex]
+    counts_q = counts_t.T  # [B, M_lex] (small; masks arrive q-major already)
     tables = []  # level tables: [B * n_groups, GS] within-group incl. cumsums
     counts_l = counts_q
     while counts_l.shape[1] > GS:
@@ -469,10 +472,7 @@ def _query_core(
     )  # [B, GS]
     tables.append(top)
     if stop_stage == "resolve_tables":
-        packed_q_probe = jax.lax.bitcast_convert_type(
-            packed_t.T.reshape(B, NW, 4), jnp.uint32
-        )
-        return _probe(*(t[::8] for t in tables), packed_q_probe[:, ::64])
+        return _probe(*(t[::8] for t in tables), packed_q8[:, ::64])
 
     lane = jnp.arange(GS, dtype=jnp.int32)[None, :]
     idx = jnp.zeros_like(q_safe)
@@ -491,34 +491,31 @@ def _query_core(
     blk_lex = jnp.minimum(idx, M_lex - 1)
     rank = r  # 1-based rank within the block
 
-    # q-major u32 mask words: byte j of a u32 holds candidates 8j..8j+7
-    # (little-endian bitcast), so bit k of word w is candidate w*32+k —
-    # the same candidate order the lex-major byte layout encodes
-    packed_rows = jax.lax.bitcast_convert_type(
-        packed_t.T.reshape(B, NW, 4), jnp.uint32
-    ).reshape(B * M_lex, WPB)
+    # rank -> candidate within the 128-row block: ONE contiguous 16-byte row
+    # gather from the q-major packed mask (consumed as bytes — a u32 bitcast
+    # view would force a ~15 MB tile-relayout copy of the whole mask),
+    # then in-register popcount prefix sums locate the byte and the bit
+    NBPB = BLK // 8  # bytes per block
+    packed_rows = packed_q8.reshape(B * M_lex, NBPB)
     rid = jnp.minimum(q_safe * M_lex + blk_lex, B * M_lex - 1)
-    row_words = packed_rows[rid]  # [P, 4] u32 row gather
-    wlane = jnp.arange(WPB, dtype=jnp.int32)[None, :]
-    pcnt = jax.lax.population_count(row_words).astype(jnp.int32)
-    within4 = jnp.cumsum(pcnt, axis=1)
-    word_pos = jnp.sum(within4 < rank[:, None], axis=1).astype(jnp.int32)
-    word_pos = jnp.minimum(word_pos, WPB - 1)
+    row_bytes = packed_rows[rid]  # [P, 16] u8 row gather
+    blane = jnp.arange(NBPB, dtype=jnp.int32)[None, :]
+    pcnt = jax.lax.population_count(row_bytes).astype(jnp.int32)
+    within16 = jnp.cumsum(pcnt, axis=1)
+    byte_pos = jnp.sum(within16 < rank[:, None], axis=1).astype(jnp.int32)
+    byte_pos = jnp.minimum(byte_pos, NBPB - 1)
     base = jnp.sum(
-        jnp.where(wlane == (word_pos - 1)[:, None], within4, 0), axis=1
+        jnp.where(blane == (byte_pos - 1)[:, None], within16, 0), axis=1
     )
     chosen = jnp.sum(
-        jnp.where(wlane == word_pos[:, None], row_words, jnp.uint32(0)),
+        jnp.where(blane == byte_pos[:, None], row_bytes.astype(jnp.int32), 0),
         axis=1,
-        dtype=jnp.uint32,
     )
-    rank_in_word = rank - base
-    bits32 = (
-        (chosen[:, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
-    ).astype(jnp.int32)
-    within32 = jnp.cumsum(bits32, axis=1)
-    bit_pos = jnp.sum(within32 < rank_in_word[:, None], axis=1).astype(jnp.int32)
-    pos = word_pos * 32 + bit_pos
+    rank_in_byte = rank - base
+    bits8 = (chosen[:, None] >> jnp.arange(8, dtype=jnp.int32)) & 1
+    within8 = jnp.cumsum(bits8, axis=1)
+    bit_pos = jnp.sum(within8 < rank_in_byte[:, None], axis=1).astype(jnp.int32)
+    pos = byte_pos * 8 + bit_pos
 
     # ---------------- Stage B: scoring ----------------
     # pairs stay as separate (query, candidate) columns — a combined
@@ -629,11 +626,14 @@ def _query_core(
     if use_stop_exact:
         # stop-at-exact restriction: drop non-exact pairs of queries with
         # exacts (compiled in only when the stop criterion can need it — the
-        # gather into exact_t costs ~1ms/batch otherwise)
+        # gather into the exact mask costs ~1ms/batch otherwise). The mask
+        # is query-major: byte pc//8 of query row pq.
         exact_byte_idx = jnp.minimum(
-            (pc // 8) * B + pq_safe, Ni_pad // 8 * B - 1
+            pq_safe * (Ni_pad // 8) + pc // 8, B * (Ni_pad // 8) - 1
         )
-        pair_exact_byte = exact_t.reshape(-1)[exact_byte_idx].astype(jnp.int32)
+        pair_exact_byte = exact_q8.reshape(-1)[exact_byte_idx].astype(
+            jnp.int32
+        )
         pair_exact = ((pair_exact_byte >> (pc % 8)) & 1) == 1
         pass_ed = pass_ed & (~use_exact[pq_safe] | pair_exact)
     keep = pass_ed & (score >= score_threshold - THRESHOLD_SLACK)

@@ -4,19 +4,26 @@ Computes, for every (query, lexicon row) pair, whether the row lies in the
 query's L1 ball, and emits *compact artifacts* instead of materializing the
 [B, Ni] distance matrix in HBM:
 
-  * ``packed_t``  uint8 [Ni/8, B]   — hit mask, bit-packed along lexicon rows
-  * ``exact_t``   uint8 [Ni/8, B]   — exact-anagram mask (L1 == 0)
+  * ``packed_q``  uint8 [B, Ni/8]   — hit mask, bit-packed along lexicon rows
+  * ``exact_q``   uint8 [B, Ni/8]   — exact-anagram mask (L1 == 0)
   * ``counts_t``  int32 [Ni/128, B] — hits per 128-row lexicon block
+    (lex-major: its q-major tile would be 8 lanes wide, below the Mosaic
+    minimum; it is small and transposed once in XLA)
   * ``nmatch``/``nexact`` int32 [B] — per-query totals
 
-Outputs are lexicon-major (queries in the minor dimension) so every Pallas
-output block keeps the full B-wide lane dimension; the downstream compaction
-adjusts its flat indexing instead of transposing the big arrays.
+Outputs are **query-major**: the downstream pair resolution consumes them
+row-per-query (radix descent over per-query block counts, one contiguous
+u32-word slice per resolved slot), and emitting that layout directly from
+the kernel's VMEM tiles replaces what used to be a ~6 ms/batch HBM-level
+transposed copy of the packed masks. Bit semantics are unchanged: byte j of
+a query row holds lexicon rows 8j..8j+7, bit k <-> row 8j+k (so after a
+little-endian bitcast to u32, bit k of word w is row 32w+k).
 
 The kernel tiles the lexicon (grid over row blocks), runs the binarized int8
-matmul on the MXU per tile, and reduces in VMEM; HBM traffic is a few bytes
-per lexicon row instead of the ~4*B*Ni of the naive XLA formulation (kept as
-the CPU-backend fallback with identical outputs).
+matmul on the MXU per tile, packs bits and transposes the small tile in
+VMEM; HBM traffic is a few bytes per lexicon row instead of the ~4*B*Ni of
+the naive XLA formulation (kept as the CPU-backend fallback with identical
+outputs).
 """
 
 from __future__ import annotations
@@ -36,12 +43,12 @@ def _row_block(B: int) -> int:
     return ROW_BLOCK
 
 
-def _pack_bits_rows(mask_t: jnp.ndarray) -> jnp.ndarray:
-    """[R, B] bool -> [R/8, B] uint8: bit r%8 of byte r//8 is row r."""
+def _pack_bits_rows_i32(mask_t: jnp.ndarray) -> jnp.ndarray:
+    """[R, B] bool -> [R/8, B] int32 bytes: bit r%8 of byte r//8 is row r."""
     R, B = mask_t.shape
     m = mask_t.reshape(R // 8, 8, B).astype(jnp.int32)
     weights = (1 << jnp.arange(8, dtype=jnp.int32))[None, :, None]
-    return jnp.sum(m * weights, axis=1).astype(jnp.uint8)
+    return jnp.sum(m * weights, axis=1)
 
 
 def _stage_a_kernel(
@@ -50,9 +57,9 @@ def _stage_a_kernel(
     k_ana_ref,  # [1, BT] int32
     bins_ref,  # [RB, AT] int8
     cc_ref,  # [RB, 1] int32
-    packed_ref,  # [RB/8, BT] uint8
-    exact_ref,  # [RB/8, BT] uint8
-    counts_ref,  # [RB/128, BT] int32
+    packed_ref,  # [BT, RB/8] uint8 (query-major)
+    exact_ref,  # [BT, RB/8] uint8 (query-major)
+    counts_ref,  # [RB/128, BT] int32 (lex-major)
     nmatch_ref,  # [1, BT] int32 (accumulated across the lexicon grid dim)
     nexact_ref,  # [1, BT] int32 (accumulated)
 ):
@@ -69,8 +76,11 @@ def _stage_a_kernel(
     mask = l1 <= k_ana_ref[0][None, :]
     exact = l1 == 0
 
-    packed_ref[...] = _pack_bits_rows(mask)
-    exact_ref[...] = _pack_bits_rows(exact)
+    # pack lex-major (the natural orientation of the [RB, B] tile), then
+    # transpose the small int32 tile in VMEM before narrowing to u8 — this
+    # emits the q-major layout directly instead of a post-hoc HBM transpose
+    packed_ref[...] = _pack_bits_rows_i32(mask).T.astype(jnp.uint8)
+    exact_ref[...] = _pack_bits_rows_i32(exact).T.astype(jnp.uint8)
     RB, B = mask.shape
     counts_ref[...] = (
         mask.reshape(RB // 128, 128, B).astype(jnp.int32).sum(axis=1)
@@ -109,10 +119,10 @@ def stage_a_masks_pallas(bins, cc, qbin, q_cc, k_ana, interpret: bool = False):
         ],
         out_specs=[
             pl.BlockSpec(
-                (rb // 8, bt), lambda j, i: (i, j), memory_space=pltpu.VMEM
+                (bt, rb // 8), lambda j, i: (j, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (rb // 8, bt), lambda j, i: (i, j), memory_space=pltpu.VMEM
+                (bt, rb // 8), lambda j, i: (j, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (rb // 128, bt), lambda j, i: (i, j), memory_space=pltpu.VMEM
@@ -121,16 +131,16 @@ def stage_a_masks_pallas(bins, cc, qbin, q_cc, k_ana, interpret: bool = False):
             pl.BlockSpec((1, bt), lambda j, i: (0, j), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Ni // 8, B), jnp.uint8),
-            jax.ShapeDtypeStruct((Ni // 8, B), jnp.uint8),
+            jax.ShapeDtypeStruct((B, Ni // 8), jnp.uint8),
+            jax.ShapeDtypeStruct((B, Ni // 8), jnp.uint8),
             jax.ShapeDtypeStruct((Ni // 128, B), jnp.int32),
             jax.ShapeDtypeStruct((1, B), jnp.int32),
             jax.ShapeDtypeStruct((1, B), jnp.int32),
         ],
         interpret=interpret,
     )(qbin, q_cc.reshape(1, B), k_ana.reshape(1, B), bins, cc.reshape(Ni, 1))
-    packed_t, exact_t, counts_t, nmatch, nexact = out
-    return packed_t, exact_t, counts_t, nmatch[0], nexact[0]
+    packed_q, exact_q, counts_t, nmatch, nexact = out
+    return packed_q, exact_q, counts_t, nmatch[0], nexact[0]
 
 
 def stage_a_masks_xla(bins, cc, validrows, qbin, q_cc, k_ana):
@@ -141,13 +151,13 @@ def stage_a_masks_xla(bins, cc, validrows, qbin, q_cc, k_ana):
     l1 = cc[:, None] + q_cc[None, :] - 2 * summin
     mask = (l1 <= k_ana[None, :]) & validrows[:, None]
     exact = (l1 == 0) & validrows[:, None]
-    packed_t = _pack_bits_rows(mask)
-    exact_t = _pack_bits_rows(exact)
+    packed_q = _pack_bits_rows_i32(mask).T.astype(jnp.uint8)
+    exact_q = _pack_bits_rows_i32(exact).T.astype(jnp.uint8)
     Ni, B = mask.shape
     counts_t = mask.reshape(Ni // 128, 128, B).astype(jnp.int32).sum(axis=1)
     return (
-        packed_t,
-        exact_t,
+        packed_q,
+        exact_q,
         counts_t,
         mask.astype(jnp.int32).sum(axis=0),
         exact.astype(jnp.int32).sum(axis=0),
