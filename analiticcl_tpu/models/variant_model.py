@@ -1495,7 +1495,10 @@ class VariantModel:
                     if order_idx == 0 or not redundant_match(
                         seg, batch_matches[bi]
                     ):
-                        seg.variants = list(found[uniq[seg.text]])
+                        # shared, not copied: Match.variants is read-only
+                        # everywhere downstream (selection writes
+                        # Match.selected, never the list)
+                        seg.variants = found[uniq[seg.text]]
                     batch_matches[bi].append(seg)
 
             matches: List[Match] = []
