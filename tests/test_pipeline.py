@@ -325,3 +325,23 @@ def test_pair_budget_overflow_splits_not_truncates(monkeypatch, tmp_path):
     got = model.find_variants_batch(queries, params)
     for q, w, g in zip(queries, want, got):
         assert _result_tuples(model, g) == _result_tuples(model, w), q
+
+
+def test_searchsorted_radix_matches_numpy():
+    """The 64-ary radix searchsorted must equal np.searchsorted(side='left')
+    on sorted arrays of assorted sizes, including ties, zeros, plateaus, and
+    out-of-range targets."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from analiticcl_tpu.ops.pipeline import _searchsorted_radix
+
+    rng = np.random.default_rng(5)
+    for n in (1, 7, 63, 64, 65, 700, 4096, 5000, 70000):
+        vals = np.sort(rng.integers(0, max(2, n // 3), size=n)).astype(np.int32)
+        targets = rng.integers(-2, vals[-1] + 3, size=997).astype(np.int32)
+        got = np.asarray(
+            _searchsorted_radix(jnp.asarray(vals), jnp.asarray(targets))
+        )
+        want = np.searchsorted(vals, targets, side="left")
+        np.testing.assert_array_equal(got, want, err_msg=f"n={n}")
