@@ -338,10 +338,9 @@ def _query_core(
     norm_lens,  # int32 [Ni_pad]
     freqs,  # uint32 [Ni_pad] absolute frequencies
     first_lower,  # bool [Ni_pad]
-    qbin,  # int8 [B, A*T]
+    q_counts,  # int32 [B, A] per-character counts (qbin derived on device)
     q_cc,  # int32 [B]
-    q_norms,  # int32 [B, L]
-    q_norms_rev,  # int32 [B, L]
+    q_norms,  # int8/int32 [B, L] (reversed copy derived on device)
     q_lens,  # int32 [B]
     q_first_lower,  # bool [B]
     k_ana,  # int32 [B]
@@ -360,12 +359,32 @@ def _query_core(
         """Small checksums standing in for a stage's outputs (profiling)."""
         return tuple(jnp.sum(a.astype(jnp.int32)) for a in arrays)
 
-    B = qbin.shape[0]
+    B = q_counts.shape[0]
+    A = q_counts.shape[1]
     Ni_pad = bins.shape[0]
     L = norms2.shape[1] // 2
     if stop_stage == "noop":
         # profiling floor: tunnel RTT + dispatch, no real compute
         return _probe(q_cc, k_ana)
+
+    # derive the device-side query artifacts from the compact uploads (the
+    # host->device transfer rides the same congested tunnel as results:
+    # expanding the [B, A*T] binary planes and the reversed norms here cuts
+    # the per-batch upload ~4x)
+    T = bins.shape[1] // A
+    t_levels = jnp.arange(T, dtype=jnp.int32)[None, None, :]
+    qbin = (
+        (jnp.minimum(q_counts, T)[:, :, None] > t_levels)
+        .reshape(B, A * T)
+        .astype(jnp.int8)
+    )
+    pos_l = jnp.arange(L, dtype=jnp.int32)[None, :]
+    rev_idx = q_lens[:, None] - 1 - pos_l
+    q_norms_rev = jnp.where(
+        rev_idx >= 0,
+        jnp.take_along_axis(q_norms, jnp.maximum(rev_idx, 0), axis=1),
+        0,
+    ).astype(q_norms.dtype)
 
     # ---------------- Stage A: retrieval ----------------
     # hit/exact masks arrive bit-packed with per-128-block counts, either from
@@ -736,7 +755,7 @@ def _query_core_packed(*args, have_freq, P, P2, window, use_stop_exact=True):
         *args, have_freq=have_freq, P=P, P2=P2, window=window,
         use_stop_exact=use_stop_exact,
     )
-    B = args[7].shape[0]  # qbin
+    B = args[7].shape[0]  # q_counts
     return _pack_query_out(out, B, P2)
 
 
@@ -1006,13 +1025,6 @@ class DevicePipeline:
         q_norms[: len(active)] = all_norms[act]
         q_lens = np.zeros(B, dtype=np.int32)
         q_lens[: len(active)] = all_lens[act]
-        pos_l = np.arange(L, dtype=np.int32)[None, :]
-        rev_idx = q_lens[:, None] - 1 - pos_l
-        q_norms_rev = np.where(
-            rev_idx >= 0,
-            np.take_along_axis(q_norms, np.maximum(rev_idx, 0), axis=1),
-            0,
-        ).astype(self._norm_dtype)
         q_counts = np.zeros((B, A), dtype=np.int32)
         q_counts[: len(active)] = enc.counts_from_norms(
             all_norms[act], all_lens[act]
@@ -1031,12 +1043,6 @@ class DevicePipeline:
             params.max_edit_distance, q_lens[: len(active)], _MAX_EDIT_DISTANCE
         )
 
-        t_levels = np.arange(T, dtype=np.int32)[None, None, :]
-        qbin = (
-            (np.minimum(q_counts, T)[:, :, None] > t_levels)
-            .reshape(B, A * T)
-            .astype(np.int8)
-        )
         q_cc = q_counts.sum(axis=1).astype(np.int32)
         stop_exact = np.full(
             B, params.stop_criterion is StopCriterion.STOP_AT_EXACT_MATCH
@@ -1050,10 +1056,9 @@ class DevicePipeline:
         # separate jnp.asarray pays its own dispatch on the remote tunnel)
         args = jax.device_put(
             (
-                qbin,
+                q_counts,
                 q_cc,
                 q_norms,
-                q_norms_rev,
                 q_lens,
                 q_first_lower,
                 k_ana,

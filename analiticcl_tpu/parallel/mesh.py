@@ -158,7 +158,7 @@ class ShardedPipeline(DevicePipeline):
         Ni_shard = self.Ni_shard
 
         idx_specs = (P("lex"),) * 7
-        q_specs = (P("dp"),) * 9  # qbin, q_cc, q_norms(+rev), q_lens, q_fl, k_ana, k_ed, stop
+        q_specs = (P("dp"),) * 8  # q_counts, q_cc, q_norms, q_lens, q_fl, k_ana, k_ed, stop
         rep_specs = (P(), P())  # weights, threshold
 
         @partial(
@@ -175,16 +175,16 @@ class ShardedPipeline(DevicePipeline):
         )
         def step(
             bins, cc, validrows, norms2, norm_lens, freqs, first_lower,
-            qbin, q_cc, q_norms, q_norms_rev, q_lens, q_first_lower, k_ana,
+            q_counts, q_cc, q_norms, q_lens, q_first_lower, k_ana,
             k_ed, stop_exact, weights, score_threshold,
         ):
-            B_local = qbin.shape[0]
+            B_local = q_counts.shape[0]
             (
                 o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case,
                 max_freq, total_match, total_keep,
             ) = _query_core(
                 bins, cc, validrows, norms2, norm_lens, freqs, first_lower,
-                qbin, q_cc, q_norms, q_norms_rev, q_lens, q_first_lower,
+                q_counts, q_cc, q_norms, q_lens, q_first_lower,
                 k_ana, k_ed, stop_exact, weights, score_threshold, have_freq,
                 P=P_, P2=P2, window=window, use_stop_exact=use_stop_exact,
             )  # have_freq is a static closure value
@@ -261,10 +261,10 @@ class ShardedPipeline(DevicePipeline):
     def _submit_fused(self, args, window: int, use_stop_exact: bool = True):
         # shard query arrays over dp
         (
-            qbin, q_cc, q_norms, q_norms_rev, q_lens, q_first_lower, k_ana,
+            q_counts, q_cc, q_norms, q_lens, q_first_lower, k_ana,
             k_ed, stop_exact, weights, score_threshold,
         ) = args
-        B = qbin.shape[0]
+        B = q_counts.shape[0]
         P, P2 = self._budgets(B)
         fn = self._sharded_fn(
             P, P2, window, use_stop_exact,
@@ -272,7 +272,7 @@ class ShardedPipeline(DevicePipeline):
         )
         buf, max_freq = fn(
             *self._idx,
-            qbin, q_cc, q_norms, q_norms_rev, q_lens, q_first_lower, k_ana,
+            q_counts, q_cc, q_norms, q_lens, q_first_lower, k_ana,
             k_ed, stop_exact, weights, score_threshold,
         )
         try:
