@@ -240,7 +240,7 @@ class SearchParameters:
         return dataclasses.replace(self, consolidate_matches=v)
 
 
-@dataclass
+@dataclass(slots=True)
 class Distance:
     """Per-candidate raw metrics record (reference types.rs:289-305)."""
 
