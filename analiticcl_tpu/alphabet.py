@@ -153,20 +153,26 @@ class AlphabetEncoder:
         return out
 
     def normalize_batch_padded(
-        self, texts: Sequence[str], pad_to: int
+        self, texts: Sequence[str], pad_to: "int | None" = None
     ) -> "tuple[np.ndarray, np.ndarray]":
         """Normalize a batch to a padded int32 matrix plus true lengths.
 
         Uses the native C++ matcher (utils/native.py) when available; entries
         longer than ``pad_to`` are truncated (lens still report true length).
+        ``pad_to=None`` sizes the pad automatically (max norm length of the
+        batch — nothing truncated).
         """
         native = self._native_matcher()
         if native is not None:
+            if pad_to is None:
+                return native.normalize_batch_auto(texts)
             return native.normalize_batch(texts, pad_to)
+        norms = [self.normalize(text) for text in texts]
+        if pad_to is None:
+            pad_to = max((len(n) for n in norms), default=1) or 1
         out = np.zeros((len(texts), pad_to), dtype=np.int32)
         lens = np.zeros(len(texts), dtype=np.int32)
-        for row, text in enumerate(texts):
-            norm = self.normalize(text)
+        for row, norm in enumerate(norms):
             lens[row] = len(norm)
             norm = norm[:pad_to]
             out[row, : len(norm)] = norm

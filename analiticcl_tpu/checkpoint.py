@@ -186,14 +186,11 @@ def load_model(path: str, backend: str = "auto"):
     vocabtype = data["vocabtype"]
     model.decoder = []
     model.encoder = {}
-    # batch-normalize all texts for the decoder norm fields
-    pad = max(max((len(t.encode("utf-8")) for t in texts), default=1), 1)
-    norms, lens = model.enc.normalize_batch_padded(texts, pad)
     for vid, text in enumerate(texts):
         model.decoder.append(
             VocabValue(
                 text=text,
-                norm=norms[vid, : lens[vid]].tolist(),
+                norm=None,  # lazily recomputed by oracle paths if needed
                 frequency=int(freqs[vid]),
                 tokencount=int(tokencounts[vid]),
                 lexindex=int(lexindex[vid]),

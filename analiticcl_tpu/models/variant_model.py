@@ -223,7 +223,14 @@ class VariantModel:
         self.confusables.append(Confusable.new(editscript, weight))
 
     def read_vocabulary(self, filename: str, params: VocabParams) -> None:
-        """Read a lexicon TSV (lib.rs:519-568)."""
+        """Read a lexicon TSV (lib.rs:519-568).
+
+        Bulk-optimized: one file read, a single parse/dedup pass appending
+        straight to the decoder (``add_to_vocabulary`` is only invoked for
+        the rare already-known texts, preserving its exact merge semantics),
+        and NO normalization — ``VocabValue.norm`` is computed lazily by the
+        oracle paths, and ``build()`` runs its own batched native pass.
+        """
         params = VocabParams(
             text_column=params.text_column,
             freq_column=params.freq_column,
@@ -231,38 +238,76 @@ class VariantModel:
             vocab_type=params.vocab_type,
             index=len(self.lexicons),
         )
-        rows: List[Tuple[str, int]] = []
         with open(filename, "r", encoding="utf-8") as f:
-            for line in f:
-                line = line.rstrip("\n")
-                if not line:
-                    continue
+            lines = f.read().split("\n")
+        tc = params.text_column
+        fc = params.freq_column
+        indexed = params.vocab_type.check(VocabType.INDEXED)
+        encoder = self.encoder
+        decoder = self.decoder
+        vt = params.vocab_type
+        lexbit_params = params
+        enc_get = encoder.get
+        new_texts: List[str] = []
+        new_freqs: List[int] = []
+        nt_append = new_texts.append
+        nf_append = new_freqs.append
+        next_id = len(decoder)
+        any_line = False
+        for line in lines:
+            if not line:
+                continue
+            any_line = True
+            if tc != 0 or "\t" in line:
                 fields = line.split("\t")
-                text = fields[params.text_column]
-                if params.freq_column is not None:
-                    if params.vocab_type.check(VocabType.INDEXED):
-                        self.have_freq = True
-                    if params.freq_column < len(fields):
-                        frequency = int(fields[params.freq_column])
-                    else:
-                        frequency = 1
+                text = fields[tc]
+                if fc is not None and fc < len(fields):
+                    frequency = int(fields[fc])
                 else:
                     frequency = 1
-                rows.append((text, frequency))
-        # chunked batch normalization (native C++ when available)
-        CHUNK = 65536
-        for start in range(0, len(rows), CHUNK):
-            chunk = rows[start : start + CHUNK]
-            texts = [t for t, _ in chunk]
-            pad = max((len(t.encode("utf-8")) for t in texts), default=1) or 1
-            norms, lens = self.enc.normalize_batch_padded(texts, pad)
-            for row, (text, frequency) in enumerate(chunk):
-                self.add_to_vocabulary(
-                    text,
-                    frequency,
-                    params,
-                    norm=norms[row, : lens[row]].tolist(),
-                )
+            else:
+                text = line
+                frequency = 1
+            vid = enc_get(text)
+            if vid is None:
+                # within-file duplicates still merge: register the id now
+                encoder[text] = next_id
+                next_id += 1
+                nt_append(text)
+                nf_append(frequency)
+            else:
+                if vid >= len(decoder):
+                    # duplicate of a row earlier in THIS file (not yet
+                    # materialized): merge into the pending column
+                    row = vid - len(decoder)
+                    fh = params.freq_handling
+                    if fh is FrequencyHandling.SUM:
+                        new_freqs[row] += frequency
+                    elif fh is FrequencyHandling.MAX:
+                        new_freqs[row] = max(new_freqs[row], frequency)
+                    elif fh is FrequencyHandling.MIN:
+                        new_freqs[row] = min(new_freqs[row], frequency)
+                    else:
+                        new_freqs[row] = frequency
+                else:
+                    # existing entry (earlier lexicon or special token):
+                    # exact merge semantics live in add_to_vocabulary
+                    self.add_to_vocabulary(text, frequency, lexbit_params)
+        if fc is not None and indexed and any_line:
+            self.have_freq = True
+        lexbit = 1 << params.index
+        decoder.extend(
+            VocabValue(
+                text=text,
+                norm=None,
+                frequency=frequency,
+                tokencount=text.count(" ") + 1,
+                lexindex=lexbit,
+                variants=None,
+                vocabtype=vt,
+            )
+            for text, frequency in zip(new_texts, new_freqs)
+        )
         self.lexicons.append(filename)
 
     # alias matching the Python binding surface
@@ -443,7 +488,7 @@ class VariantModel:
         self.decoder.append(
             VocabValue(
                 text=text,
-                norm=norm if norm is not None else self.enc.normalize(text),
+                norm=norm,  # None = computed lazily (oracle paths only)
                 frequency=frequency,
                 tokencount=text.count(" ") + 1,
                 lexindex=1 << params.index,
@@ -508,17 +553,33 @@ class VariantModel:
         self._lm_tables_cache = None
         A = self.alphabet_size()
         indexed_flag = int(VocabType.INDEXED)
-        indexed_vids = [
-            vid
-            for vid, value in enumerate(self.decoder)
-            # .value & flag avoids IntFlag.__and__ overhead (2M+ calls)
-            if value.vocabtype.value & indexed_flag
-        ]
+        lm_flag = int(VocabType.LM)
+        # ONE pass over the decoder collecting everything every later stage
+        # needs (at 1M entries, each extra pass with enum attribute access
+        # costs ~0.5 s; .value & flag avoids IntFlag.__and__ overhead)
+        indexed_vids: List[int] = []
+        texts: List[str] = []
+        lm_vids: List[int] = []
+        freq_list: List[int] = []
+        fl_list: List[bool] = []
+        iv_append = indexed_vids.append
+        tx_append = texts.append
+        lm_append = lm_vids.append
+        fq_append = freq_list.append
+        fl_append = fl_list.append
+        for vid, value in enumerate(self.decoder):
+            vt = value.vocabtype.value
+            text = value.text
+            if vt & indexed_flag:
+                iv_append(vid)
+                tx_append(text)
+            if vt & lm_flag:
+                lm_append(vid)
+            fq_append(value.frequency)
+            fl_append(text[:1].islower() if text else False)
 
         if indexed_vids:
-            texts = [self.decoder[vid].text for vid in indexed_vids]
-            pad = max(max((len(t.encode("utf-8")) for t in texts), default=1), 1)
-            norms_all, lens_all = self.enc.normalize_batch_padded(texts, pad)
+            norms_all, lens_all = self.enc.normalize_batch_padded(texts)
             max_norm_len = max(int(lens_all.max()), 1)
             norms_all = norms_all[:, :max_norm_len]
             counts = self.enc.counts_from_norms(norms_all, lens_all)
@@ -535,12 +596,19 @@ class VariantModel:
             if keys is not None:
                 skeys = keys.view("S64").reshape(-1)
                 saturated = skeys == b"\xff" * 64
-                rec = np.empty(
-                    len(vids_arr), dtype=[("k", "S64"), ("v", "<i8")]
-                )
-                rec["k"] = skeys
-                rec["v"] = vids_arr
-                order = np.argsort(rec, order=("k", "v"), kind="stable")
+                # rows are in ascending-vid order, so a STABLE key-only sort
+                # already yields (key, vid) order — no composite record sort.
+                # Fast path: when every value fits 192 bits (top 40 bytes
+                # zero — true for any word of < ~28 letters), compare as
+                # three big-endian u64 words via lexsort (~4x faster than
+                # the 64-byte string argsort at 1M rows).
+                words = keys.view(">u8").reshape(-1, 8)
+                if not words[:, :5].any():
+                    order = np.lexsort(
+                        (words[:, 7], words[:, 6], words[:, 5])
+                    )
+                else:
+                    order = np.argsort(skeys, kind="stable")
                 if saturated.any():
                     # exact ordering among >512-bit values via Python ints
                     sat_rows = np.nonzero(saturated)[0]
@@ -565,22 +633,17 @@ class VariantModel:
 
             vocab_ids = vids_arr[order]
             counts = counts[order]
-            norms = np.ascontiguousarray(norms_all[order], dtype=np.int32)
+            # norm indices are alphabet positions: int8 whenever they fit
+            # (fresh-page faults cost ~70 ms/MB on Firecracker-style VMs, so
+            # the index keeps narrow dtypes end-to-end; the device pipeline
+            # already consumes either width)
+            norm_dtype = np.int8 if A + 1 < 127 else np.int32
+            norms = norms_all.astype(norm_dtype)[order]
             norm_lens = np.minimum(lens_all[order], max_norm_len).astype(np.int32)
             charcounts = counts.sum(axis=1, dtype=np.int32)
-            # one sequential decoder pass + vectorized re-index (avoids per-row
-            # random decoder access with int conversions)
-            decoder = self.decoder
-            dec_freq = np.fromiter(
-                (e.frequency for e in decoder),
-                dtype=np.float64,
-                count=len(decoder),
-            )
-            dec_fl = np.fromiter(
-                (e.text[:1].islower() if e.text else False for e in decoder),
-                dtype=bool,
-                count=len(decoder),
-            )
+            # columns collected in the single decoder pass above
+            dec_freq = np.asarray(freq_list, dtype=np.float64)
+            dec_fl = np.asarray(fl_list, dtype=bool)
             freqs = dec_freq[vocab_ids]
             first_lower = dec_fl[vocab_ids]
             # group boundaries: runs of identical count vectors in sorted order
@@ -589,7 +652,9 @@ class VariantModel:
             boundary[1:] = np.any(counts[1:] != counts[:-1], axis=1)
             starts = np.nonzero(boundary)[0]
             ends = np.append(starts[1:], n)
-            group_ranges = list(zip(starts.tolist(), ends.tolist()))
+            # [G, 2] array: rows tuple-unpack like the (start, end) tuples
+            # consumers expect, without materializing G Python tuples
+            group_ranges = np.stack([starts, ends], axis=1)
             self.index = BuiltIndex(
                 vocab_ids=vocab_ids,
                 counts=counts,
@@ -611,20 +676,18 @@ class VariantModel:
         self.ngrams.clear()
         self.freq_sum = [0]
         unseen_parts: Dict[str, VocabId] = {}
-        lm_flag = int(VocabType.LM)
-        for vid in range(len(self.decoder)):
-            if self.decoder[vid].vocabtype.value & lm_flag:
-                ngram = self.into_ngram(vid, unseen_parts)
-                if ngram is None:  # order > 5: reference errors out and skips
-                    continue
-                freq = self.decoder[vid].frequency
-                if len(ngram) > 1:
-                    while len(self.freq_sum) < len(ngram):
-                        self.freq_sum.append(0)
-                    self.freq_sum[len(ngram) - 1] += freq
-                else:
-                    self.freq_sum[0] += freq
-                self.add_ngram(ngram, freq)
+        for vid in lm_vids:
+            ngram = self.into_ngram(vid, unseen_parts)
+            if ngram is None:  # order > 5: reference errors out and skips
+                continue
+            freq = self.decoder[vid].frequency
+            if len(ngram) > 1:
+                while len(self.freq_sum) < len(ngram):
+                    self.freq_sum.append(0)
+                self.freq_sum[len(ngram) - 1] += freq
+            else:
+                self.freq_sum[0] += freq
+            self.add_ngram(ngram, freq)
         for part, vid in unseen_parts.items():
             self.add_ngram((vid,), 1)
             self.encoder[part] = vid
@@ -788,7 +851,10 @@ class VariantModel:
         for row in rows:
             vid = int(index.vocab_ids[row])
             item = self.decoder[vid]
-            ld = dist_oracle.damerau_levenshtein(normstring, item.norm, k_ed)
+            # candidate norms live in the built index arrays (build() never
+            # truncates: norm length <= utf-8 byte length <= the batch pad)
+            cand_norm = index.norms[row, : index.norm_lens[row]].tolist()
+            ld = dist_oracle.damerau_levenshtein(normstring, cand_norm, k_ed)
             if ld is None:
                 continue
             instances.append(
@@ -798,18 +864,18 @@ class VariantModel:
                         ld=ld,
                         lcs=(
                             dist_oracle.longest_common_substring_length(
-                                normstring, item.norm
+                                normstring, cand_norm
                             )
                             if w.lcs > 0.0
                             else 0
                         ),
                         prefixlen=(
-                            dist_oracle.common_prefix_length(normstring, item.norm)
+                            dist_oracle.common_prefix_length(normstring, cand_norm)
                             if w.prefix > 0.0
                             else 0
                         ),
                         suffixlen=(
-                            dist_oracle.common_suffix_length(normstring, item.norm)
+                            dist_oracle.common_suffix_length(normstring, cand_norm)
                             if w.suffix > 0.0
                             else 0
                         ),

@@ -13,6 +13,7 @@
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -37,6 +38,71 @@ inline int utf8_len(unsigned char c) {
     if ((c >> 4) == 0xe) return 3;
     if ((c >> 3) == 0x1e) return 4;
     return 1;  // invalid byte: treat as single
+}
+
+// Run fn(t0, t1) over [0, n) split across threads (outputs must be disjoint
+// per range). Million-entry ingestion is the only caller that needs this;
+// small batches stay single-threaded to avoid spawn overhead.
+template <typename Fn>
+void parallel_ranges(int32_t n, Fn fn) {
+    unsigned hw = std::thread::hardware_concurrency();
+    int32_t nthreads = hw ? (int32_t)hw : 1;
+    if (nthreads > 16) nthreads = 16;
+    if (n < 65536 || nthreads <= 1) {
+        fn(0, n);
+        return;
+    }
+    std::vector<std::thread> threads;
+    int32_t chunk = (n + nthreads - 1) / nthreads;
+    for (int32_t t = 0; t < nthreads; t++) {
+        int32_t lo = t * chunk;
+        int32_t hi = lo + chunk < n ? lo + chunk : n;
+        if (lo >= hi) break;
+        threads.emplace_back([=] { fn(lo, hi); });
+    }
+    for (auto& th : threads) th.join();
+}
+
+// Normalize texts [t0, t1) where text t spans bytes [starts[t], ends[t]).
+void normalize_range(Matcher* m, const char* texts, const int64_t* starts,
+                     const int64_t* ends, int32_t t0, int32_t t1,
+                     int32_t max_len, int32_t* out_norms, int32_t* out_lens) {
+    const int32_t unk = m->n_classes + 1;
+    for (int32_t t = t0; t < t1; t++) {
+        const char* s = texts + starts[t];
+        int64_t n = ends[t] - starts[t];
+        int32_t* out = out_norms + (int64_t)t * max_len;
+        int32_t len = 0;
+        int64_t i = 0;
+        while (i < n) {
+            unsigned char c = (unsigned char)s[i];
+            int32_t cls = -1;
+            int64_t adv = 0;
+            if (m->single_byte_only && c < 0x80) {
+                cls = m->bytemap[c];
+                adv = 1;
+            } else {
+                const std::vector<Element>& bucket = m->buckets[c];
+                for (const Element& el : bucket) {
+                    int64_t blen = (int64_t)el.text.size();
+                    if (blen <= n - i && memcmp(el.text.data(), s + i, blen) == 0) {
+                        cls = el.cls;
+                        adv = blen;
+                        break;
+                    }
+                }
+            }
+            if (cls < 0) {
+                cls = unk;
+                adv = utf8_len(c);
+                if (adv > n - i) adv = n - i;
+            }
+            if (len < max_len) out[len] = cls;
+            len++;
+            i += adv;
+        }
+        out_lens[t] = len;
+    }
 }
 
 }  // namespace
@@ -78,46 +144,26 @@ void ananorm_normalize_batch(void* handle, const char* texts,
                              int32_t max_len, int32_t* out_norms,
                              int32_t* out_lens) {
     Matcher* m = static_cast<Matcher*>(handle);
-    const int32_t unk = m->n_classes + 1;
-    for (int32_t t = 0; t < n_texts; t++) {
-        const char* s = texts + text_offsets[t];
-        int64_t n = text_offsets[t + 1] - text_offsets[t];
-        int32_t* out = out_norms + (int64_t)t * max_len;
-        int32_t len = 0;
-        int64_t i = 0;
-        while (i < n) {
-            unsigned char c = (unsigned char)s[i];
-            int32_t cls = -1;
-            int64_t adv = 0;
-            if (m->single_byte_only && c < 0x80) {
-                cls = m->bytemap[c];
-                adv = 1;
-            } else {
-                const std::vector<Element>& bucket = m->buckets[c];
-                // first element (in global order) that matches here wins;
-                // buckets are per-first-byte, but global order must be
-                // respected across buckets only for same start byte, which
-                // bucket order preserves
-                for (const Element& el : bucket) {
-                    int64_t blen = (int64_t)el.text.size();
-                    if (blen <= n - i && memcmp(el.text.data(), s + i, blen) == 0) {
-                        cls = el.cls;
-                        adv = blen;
-                        break;
-                    }
-                }
-            }
-            if (cls < 0) {
-                cls = unk;
-                adv = utf8_len(c);
-                if (adv > n - i) adv = n - i;
-            }
-            if (len < max_len) out[len] = cls;
-            len++;
-            i += adv;
-        }
-        out_lens[t] = len;
-    }
+    // contiguous segments: starts = offsets[0..n), ends = offsets[1..n+1)
+    parallel_ranges(n_texts, [=](int32_t t0, int32_t t1) {
+        normalize_range(m, texts, text_offsets, text_offsets + 1, t0, t1,
+                        max_len, out_norms, out_lens);
+    });
+}
+
+// Normalize texts delimited by explicit [starts[t], ends[t]) byte ranges
+// (non-contiguous segments — e.g. newline-separated blobs where the
+// separator byte must not be normalized). Threaded for ingestion-scale
+// batches; first match wins exactly as in ananorm_normalize_batch.
+void ananorm_normalize_se(void* handle, const char* texts,
+                          const int64_t* starts, const int64_t* ends,
+                          int32_t n_texts, int32_t max_len,
+                          int32_t* out_norms, int32_t* out_lens) {
+    Matcher* m = static_cast<Matcher*>(handle);
+    parallel_ranges(n_texts, [=](int32_t t0, int32_t t1) {
+        normalize_range(m, texts, starts, ends, t0, t1, max_len, out_norms,
+                        out_lens);
+    });
 }
 
 // Count vectors from normalized strings: out_counts [n_texts, n_slots] uint8
@@ -126,17 +172,19 @@ void ananorm_normalize_batch(void* handle, const char* texts,
 void ananorm_counts_batch(const int32_t* norms, const int32_t* lens,
                           int32_t n_texts, int32_t max_len, int32_t n_slots,
                           uint8_t* out_counts) {
-    for (int32_t t = 0; t < n_texts; t++) {
-        const int32_t* nm = norms + (int64_t)t * max_len;
-        uint8_t* out = out_counts + (int64_t)t * n_slots;
-        memset(out, 0, n_slots);
-        int32_t len = lens[t] < max_len ? lens[t] : max_len;
-        for (int32_t k = 0; k < len; k++) {
-            int32_t cls = nm[k];
-            if (cls < 0 || cls >= n_slots) cls = n_slots - 1;
-            if (out[cls] != 255) out[cls]++;
+    parallel_ranges(n_texts, [=](int32_t r0, int32_t r1) {
+        for (int32_t t = r0; t < r1; t++) {
+            const int32_t* nm = norms + (int64_t)t * max_len;
+            uint8_t* out = out_counts + (int64_t)t * n_slots;
+            memset(out, 0, n_slots);
+            int32_t len = lens[t] < max_len ? lens[t] : max_len;
+            for (int32_t k = 0; k < len; k++) {
+                int32_t cls = nm[k];
+                if (cls < 0 || cls >= n_slots) cls = n_slots - 1;
+                if (out[cls] != 255) out[cls]++;
+            }
         }
-    }
+    });
 }
 
 // Prime-product anagram values as 64-byte big-endian integers (for exact
@@ -150,8 +198,9 @@ void ananorm_anavalue_batch(const int32_t* norms, const int32_t* lens,
                             int32_t unk_norm_index, uint8_t* out_bytes) {
     const int NB = 64;  // bytes per value
     const int NW = 16;  // 32-bit words
+    parallel_ranges(n_texts, [=](int32_t r0, int32_t r1) {
     std::vector<uint32_t> acc(NW);
-    for (int32_t t = 0; t < n_texts; t++) {
+    for (int32_t t = r0; t < r1; t++) {
         std::fill(acc.begin(), acc.end(), 0u);
         acc[0] = 1u;
         bool overflow = false;
@@ -184,6 +233,7 @@ void ananorm_anavalue_batch(const int32_t* norms, const int32_t* lens,
             }
         }
     }
+    });
 }
 
 // ---------------------------------------------------------------------------

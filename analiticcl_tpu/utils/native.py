@@ -44,8 +44,12 @@ def _load() -> Optional[ctypes.CDLL]:
         if _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO_PATH):
-            src = os.path.join(_NATIVE_DIR, "ananorm.cpp")
+        src = os.path.join(_NATIVE_DIR, "ananorm.cpp")
+        stale = os.path.exists(_SO_PATH) and (
+            os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
+        )
+        if not os.path.exists(_SO_PATH) or stale:
             if os.path.exists(src):
                 try:
                     subprocess.run(
@@ -77,6 +81,16 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ananorm_normalize_batch.argtypes = [
             ctypes.c_void_p,
             ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.ananorm_normalize_se.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int32,
             ctypes.c_int32,
@@ -184,26 +198,84 @@ class NativeMatcher:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (norms int32 [n, max_len] 0-padded, lens int32 [n]).
 
-        lens may exceed max_len for over-long texts (norm truncated)."""
-        encoded = [t.encode("utf-8") for t in texts]
-        blob = b"".join(encoded)
-        offsets = np.zeros(len(texts) + 1, dtype=np.int64)
-        np.cumsum(
-            np.fromiter((len(e) for e in encoded), dtype=np.int64, count=len(encoded)),
-            out=offsets[1:],
-        )
-        norms = np.zeros((len(texts), max_len), dtype=np.int32)
-        lens = np.zeros(len(texts), dtype=np.int32)
-        self._lib.ananorm_normalize_batch(
+        lens may exceed max_len for over-long texts (norm truncated).
+        The blob is built with ONE str.join + ONE encode (a per-text
+        encode/join pair costs ~10 s per million entries in pure Python);
+        boundaries come from a vectorized newline scan. Texts containing
+        newlines (impossible for line-based loaders, possible via the API)
+        take the exact per-text offsets path.
+        """
+        n = len(texts)
+        norms = np.zeros((n, max_len), dtype=np.int32)
+        lens = np.zeros(n, dtype=np.int32)
+        if n == 0:
+            return norms, lens
+        joined = "\n".join(texts)
+        if joined.count("\n") == n - 1:
+            blob = joined.encode("utf-8")
+            arr = np.frombuffer(blob, dtype=np.uint8)
+            nl = np.flatnonzero(arr == 10).astype(np.int64)
+            starts = np.concatenate(([0], nl + 1))
+            ends = np.concatenate((nl, [len(blob)]))
+        else:
+            encoded = [t.encode("utf-8") for t in texts]
+            blob = b"".join(encoded)
+            ends = np.cumsum(
+                np.fromiter((len(e) for e in encoded), dtype=np.int64, count=n)
+            )
+            starts = np.concatenate(([0], ends[:-1]))
+        self.normalize_se(blob, starts, ends, norms, lens)
+        return norms, lens
+
+    def normalize_batch_auto(
+        self, texts: Sequence[str]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Like normalize_batch but derives the pad width from the batch
+        itself (max per-text byte length, an upper bound on norm length since
+        every norm symbol consumes >= 1 byte) — avoiding the caller's
+        per-text ``len(t.encode())`` pass."""
+        n = len(texts)
+        if n == 0:
+            return np.zeros((0, 1), dtype=np.int32), np.zeros(0, dtype=np.int32)
+        joined = "\n".join(texts)
+        if joined.count("\n") != n - 1:
+            pad = max(max((len(t.encode("utf-8")) for t in texts), default=1), 1)
+            return self.normalize_batch(texts, pad)
+        blob = joined.encode("utf-8")
+        arr = np.frombuffer(blob, dtype=np.uint8)
+        nl = np.flatnonzero(arr == 10).astype(np.int64)
+        starts = np.concatenate(([0], nl + 1))
+        ends = np.concatenate((nl, [len(blob)]))
+        pad = max(int((ends - starts).max()), 1)
+        norms = np.zeros((n, pad), dtype=np.int32)
+        lens = np.zeros(n, dtype=np.int32)
+        self.normalize_se(blob, starts, ends, norms, lens)
+        return norms, lens
+
+    def normalize_se(
+        self,
+        blob: bytes,
+        starts: np.ndarray,
+        ends: np.ndarray,
+        norms: np.ndarray,
+        lens: np.ndarray,
+    ) -> None:
+        """Normalize byte ranges [starts[i], ends[i]) of ``blob`` in place
+        into preallocated ``norms`` [n, max_len] int32 / ``lens`` [n] int32."""
+        self._lib.ananorm_normalize_se(
             self._handle,
             blob,
-            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            len(texts),
-            max_len,
+            np.ascontiguousarray(starts, dtype=np.int64).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int64)
+            ),
+            np.ascontiguousarray(ends, dtype=np.int64).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int64)
+            ),
+            norms.shape[0],
+            norms.shape[1],
             norms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         )
-        return norms, lens
 
 
 def counts_batch(

@@ -31,7 +31,10 @@ class VocabType(enum.IntFlag):
 @dataclass
 class VocabValue:
     text: str
-    norm: List[int] = field(default_factory=list)
+    # normalized alphabet-index string; None = not yet computed (the oracle
+    # paths are the only consumers — VariantModel._norm_of fills it lazily, so
+    # million-entry ingestion never pays per-entry normalization)
+    norm: Optional[List[int]] = None
     frequency: int = 1
     tokencount: int = 1
     lexindex: int = 0  # bitmask over lexicon indices
