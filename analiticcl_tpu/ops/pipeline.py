@@ -346,12 +346,14 @@ def _query_core(
     k_ana,  # int32 [B]
     k_ed,  # int32 [B]
     stop_exact,  # bool [B]
+    start_blk,  # int32 [B // B_TILE]: per-tile band start block (host-exact)
     weights,  # f32 [6]
     score_threshold,  # f32 scalar
     have_freq: bool,  # STATIC: model has frequencies (gates the segment max)
     P: int,
     P2: int,
     window: int,  # exactness window for DL (>= max per-query edit distance)
+    nb_band: int,  # STATIC: band width in ROW_BLOCK blocks (charcount band)
     use_stop_exact: bool = True,  # static: include the StopAtExactMatch filter
     stop_stage: Optional[str] = None,  # profiling: truncate after a stage
 ):
@@ -386,20 +388,28 @@ def _query_core(
         0,
     ).astype(q_norms.dtype)
 
-    # ---------------- Stage A: retrieval ----------------
-    # hit/exact masks arrive bit-packed with per-128-block counts, either from
-    # the fused Pallas kernel (TPU) or the XLA fallback — never as a
+    # ---------------- Stage A: banded retrieval ----------------
+    # hit/exact masks arrive bit-packed with per-128-block counts in BANDED
+    # coordinates (each query tile scans only its charcount band), either
+    # from the fused Pallas kernel (TPU) or the XLA fallback — never as a
     # materialized [B, Ni] distance matrix
-    from .stage_a import _row_block, stage_a_masks_pallas, stage_a_masks_xla
+    from .stage_a import (
+        ROW_BLOCK as _RB,
+        _b_tile,
+        _row_block,
+        stage_a_masks_pallas,
+        stage_a_masks_xla,
+    )
 
     if _use_pallas() and Ni_pad % _row_block(B) == 0:
         packed_q8, exact_q8, counts_t, nmatch, nexact = stage_a_masks_pallas(
-            bins, cc, qbin, q_cc, k_ana
+            bins, cc, qbin, q_cc, k_ana, start_blk, nb_band
         )
     else:
         packed_q8, exact_q8, counts_t, nmatch, nexact = stage_a_masks_xla(
-            bins, cc, validrows, qbin, q_cc, k_ana
+            bins, cc, validrows, qbin, q_cc, k_ana, start_blk, nb_band
         )
+    Ni_band = nb_band * _RB  # band rows per query tile (banded coord range)
     # StopAtExactMatch (lib.rs:1158-1174): when a query has an exact anagram,
     # only exact pairs survive; the restriction is applied as a pair filter in
     # stage B (exact pairs are a subset of the L1 ball)
@@ -423,7 +433,7 @@ def _query_core(
     # masks are re-laid out q-major and bitcast to u32 words) instead of 16
     # B-strided bytes.
     BLK = 128
-    M_lex = Ni_pad // BLK
+    M_band = Ni_band // BLK  # 128-row blocks per band (banded coords)
     targets = jnp.arange(1, P + 1, dtype=jnp.int32)
 
     qcum = jnp.cumsum(nmatch.astype(jnp.int32))  # [B] inclusive
@@ -466,16 +476,16 @@ def _query_core(
     if stop_stage == "resolve_pre":
         return _probe(q_safe, r_q)
 
-    # Block within the query: a 32-ary radix descent instead of a binary
-    # search. The binary search costs log2(M_lex) DEPENDENT per-element
-    # [P]-gathers (~16 ms/batch at M_lex~1000). Each radix level instead
+    # Band block within the query: a 32-ary radix descent instead of a binary
+    # search. The binary search costs log2(M_band) DEPENDENT per-element
+    # [P]-gathers (~16 ms/batch at M_band~1000). Each radix level instead
     # fetches ONE 32-int32 group row per slot — expressed as a ROW gather
     # (major-axis indexing with the minor dim intact), which XLA lowers as a
     # slice fetch per row rather than 32 scalar gathers — and resolves the
-    # child with in-register compare-sums. ceil(log32(M_lex)) row gathers
-    # total: 2 for a 120k-row lexicon, 3 up to 4M rows.
+    # child with in-register compare-sums. ceil(log32(M_band)) row gathers
+    # total: banding keeps M_band small even for million-row lexicons.
     GS = 32
-    counts_q = counts_t.T  # [B, M_lex] (small; masks arrive q-major already)
+    counts_q = counts_t.T  # [B, M_band] (small; masks arrive q-major already)
     tables = []  # level tables: [B * n_groups, GS] within-group incl. cumsums
     counts_l = counts_q
     while counts_l.shape[1] > GS:
@@ -507,7 +517,7 @@ def _query_core(
         prev = jnp.sum(jnp.where(lane == (j - 1)[:, None], sl, 0), axis=1)
         r = r - prev
         idx = idx * GS + j
-    blk_lex = jnp.minimum(idx, M_lex - 1)
+    blk_band = jnp.minimum(idx, M_band - 1)
     rank = r  # 1-based rank within the block
 
     # rank -> candidate within the 128-row block: ONE contiguous 16-byte row
@@ -515,8 +525,8 @@ def _query_core(
     # view would force a ~15 MB tile-relayout copy of the whole mask),
     # then in-register popcount prefix sums locate the byte and the bit
     NBPB = BLK // 8  # bytes per block
-    packed_rows = packed_q8.reshape(B * M_lex, NBPB)
-    rid = jnp.minimum(q_safe * M_lex + blk_lex, B * M_lex - 1)
+    packed_rows = packed_q8.reshape(B * M_band, NBPB)
+    rid = jnp.minimum(q_safe * M_band + blk_band, B * M_band - 1)
     row_bytes = packed_rows[rid]  # [P, 16] u8 row gather
     blane = jnp.arange(NBPB, dtype=jnp.int32)[None, :]
     pcnt = jax.lax.population_count(row_bytes).astype(jnp.int32)
@@ -538,10 +548,17 @@ def _query_core(
 
     # ---------------- Stage B: scoring ----------------
     # pairs stay as separate (query, candidate) columns — a combined
-    # q*Ni_pad+c encoding would overflow int32 past ~2M lexicon rows
+    # q*Ni_pad+c encoding would overflow int32 past ~2M lexicon rows.
+    # pc_band is banded (within the query tile's band window); the global
+    # device row adds the tile's band start row.
     pvalid = pvalid_slot
     pq = jnp.where(pvalid, q_safe, B)
-    pc = jnp.where(pvalid, blk_lex * BLK + pos, 0)
+    pc_band = blk_band * BLK + pos
+    bt_sz = _b_tile(B)
+    band_row0 = start_blk[q_safe // bt_sz] * _RB  # [P] tiny-table gather
+    pc = jnp.where(
+        pvalid, jnp.minimum(band_row0 + pc_band, Ni_pad - 1), 0
+    )
     if stop_stage == "resolve":
         return _probe(pq, pc)
 
@@ -646,14 +663,14 @@ def _query_core(
         # stop-at-exact restriction: drop non-exact pairs of queries with
         # exacts (compiled in only when the stop criterion can need it — the
         # gather into the exact mask costs ~1ms/batch otherwise). The mask
-        # is query-major: byte pc//8 of query row pq.
+        # is query-major in BANDED coords: byte pc_band//8 of query row pq.
         exact_byte_idx = jnp.minimum(
-            pq_safe * (Ni_pad // 8) + pc // 8, B * (Ni_pad // 8) - 1
+            pq_safe * (Ni_band // 8) + pc_band // 8, B * (Ni_band // 8) - 1
         )
         pair_exact_byte = exact_q8.reshape(-1)[exact_byte_idx].astype(
             jnp.int32
         )
-        pair_exact = ((pair_exact_byte >> (pc % 8)) & 1) == 1
+        pair_exact = ((pair_exact_byte >> (pc_band % 8)) & 1) == 1
         pass_ed = pass_ed & (~use_exact[pq_safe] | pair_exact)
     keep = pass_ed & (score >= score_threshold - THRESHOLD_SLACK)
 
@@ -750,10 +767,12 @@ def _pack_query_out(out, B: int, P2: int) -> jnp.ndarray:
     )
 
 
-def _query_core_packed(*args, have_freq, P, P2, window, use_stop_exact=True):
+def _query_core_packed(
+    *args, have_freq, P, P2, window, nb_band, use_stop_exact=True
+):
     out = _query_core(
         *args, have_freq=have_freq, P=P, P2=P2, window=window,
-        use_stop_exact=use_stop_exact,
+        nb_band=nb_band, use_stop_exact=use_stop_exact,
     )
     B = args[7].shape[0]  # q_counts
     return _pack_query_out(out, B, P2)
@@ -763,7 +782,9 @@ def _query_core_packed(*args, have_freq, P, P2, window, use_stop_exact=True):
 # shard_map over the lexicon axis (see parallel/mesh.py)
 _query_fused = partial(
     jax.jit,
-    static_argnames=("P", "P2", "window", "use_stop_exact", "have_freq"),
+    static_argnames=(
+        "P", "P2", "window", "nb_band", "use_stop_exact", "have_freq"
+    ),
 )(_query_core_packed)
 
 
@@ -780,30 +801,52 @@ class DevicePipeline:
         counts = index.counts.astype(np.int32)
         self.T = max(1, int(counts.max())) if counts.size else 1
 
-        # pad rows so the fused stage-A kernel's row blocks tile evenly
-        unit = 2048 if _use_pallas() else 128
+        # pad rows so the band blocks (ROW_BLOCK) and the fused stage-A
+        # kernel's tiles divide evenly
+        from .stage_a import ROW_BLOCK
+
+        unit = 2048 if _use_pallas() else ROW_BLOCK
         Ni_pad = max(unit, -(-self.Ni // unit) * unit)
         self.Ni_pad = Ni_pad
+        self.M_total = Ni_pad // ROW_BLOCK
         # Largest batch bucket this lexicon supports: the remote TPU compile
         # helper crashes on fused programs whose stage-A bit-mask exceeds
-        # ~1.2G cells (B x Ni_pad); 1024x1M and 4096x121k are verified good,
-        # 4096x1M is a verified HTTP-500.
+        # ~1.2G cells (B x band rows). With charcount banding the mask covers
+        # only each tile's band; size assuming bands stay <= 512 blocks
+        # (oversized bands trigger a proactive batch split instead).
         self.max_B = B_BUCKETS[0]
         for b in B_BUCKETS:
-            if b * Ni_pad <= 1_288_490_188:
+            if b * min(self.M_total, 512) * ROW_BLOCK <= 1_288_490_188:
                 self.max_B = b
+        # band-width buckets (in ROW_BLOCK blocks): few enough that typical
+        # workloads compile one fused variant
+        cand = (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+        self.nb_buckets = tuple(
+            [c for c in cand if c < self.M_total] + [self.M_total]
+        )
         pad = Ni_pad - self.Ni
+
+        # DEVICE LAYOUT: rows sorted by charcount (stable, so canonical order
+        # within equal charcounts). Stage A scans only each query tile's
+        # charcount band; _canon_of maps surviving device rows back to
+        # canonical index rows on the host (collect() lexsorts into the
+        # reference's (query, canonical candidate) order either way).
+        perm = np.argsort(index.charcounts, kind="stable")
+        self._canon_of = np.full(Ni_pad, max(self.Ni - 1, 0), dtype=np.int64)
+        self._canon_of[: self.Ni] = perm
+        # host copy of the device charcount column for exact band computation
+        cc = np.full(Ni_pad, BIG_L1, dtype=np.int32)
+        cc[: self.Ni] = index.charcounts[perm]
+        self._cc_dev = cc
 
         # padded arrays are filled into preallocated buffers: one pass each
         # instead of reshape+pad+astype copy chains (learn mode rebuilds this
         # on every iteration, so construction cost is throughput)
         t_levels = np.arange(self.T, dtype=np.int32)[None, None, :]
         bins = np.zeros((Ni_pad, self.A * self.T), dtype=np.int8)
-        bins[: self.Ni] = (counts[:, :, None] > t_levels).reshape(
+        bins[: self.Ni] = (counts[perm][:, :, None] > t_levels).reshape(
             self.Ni, self.A * self.T
         )
-        cc = np.full(Ni_pad, BIG_L1, dtype=np.int32)
-        cc[: self.Ni] = index.charcounts
         wn = index.norms.shape[1]
         # norm indices are alphabet positions (tiny ints): store int8 when
         # they fit — the per-pair norm gather is latency/byte-bound and this
@@ -812,14 +855,14 @@ class DevicePipeline:
         max_norm_idx = int(index.norms.max(initial=0))
         self._norm_dtype = np.int8 if max_norm_idx < 120 else np.int32
         norms2 = np.zeros((Ni_pad, 2 * self.L), dtype=self._norm_dtype)
-        norms2[: self.Ni, :wn] = index.norms
-        norms2[: self.Ni, self.L : self.L + wn] = index.norms_reversed()
+        norms2[: self.Ni, :wn] = index.norms[perm]
+        norms2[: self.Ni, self.L : self.L + wn] = index.norms_reversed()[perm]
         norm_lens = np.zeros(Ni_pad, dtype=np.int32)
-        norm_lens[: self.Ni] = index.norm_lens
+        norm_lens[: self.Ni] = index.norm_lens[perm]
         freqs = np.zeros(Ni_pad, dtype=np.uint32)
-        freqs[: self.Ni] = index.freqs.astype(np.uint32)
+        freqs[: self.Ni] = index.freqs[perm].astype(np.uint32)
         first_lower = np.zeros(Ni_pad, dtype=bool)
-        first_lower[: self.Ni] = index.first_lower
+        first_lower[: self.Ni] = index.first_lower[perm]
 
         # index arrays as explicit jit arguments: executables shared across
         # models of identical shape, nothing constant-baked
@@ -895,13 +938,15 @@ class DevicePipeline:
                 self._hint_key(B), (self._P_by_B[B], self._P2_by_B[B])
             )
 
-    def _submit_fused(self, args, window: int, use_stop_exact: bool = True):
+    def _submit_fused(
+        self, args, window: int, nb_band: int, use_stop_exact: bool = True
+    ):
         """Enqueue the fused device call without blocking (async dispatch)."""
         B = args[0].shape[0]
         P, P2 = self._budgets(B)
         buf = _query_fused(
             *self._idx, *args, have_freq=bool(self.model.have_freq),
-            P=P, P2=P2, window=window,
+            P=P, P2=P2, window=window, nb_band=nb_band,
             use_stop_exact=use_stop_exact,
         )
         # enqueue the device->host copy NOW: it fires as soon as the fused
@@ -943,9 +988,11 @@ class DevicePipeline:
             int(host[off + B]), int(host[off + B + 1]),
         )
 
-    def _run_fused(self, args, window: int, use_stop_exact: bool = True):
+    def _run_fused(
+        self, args, window: int, nb_band: int, use_stop_exact: bool = True
+    ):
         return self._finalize_fused(
-            self._submit_fused(args, window, use_stop_exact)
+            self._submit_fused(args, window, nb_band, use_stop_exact)
         )
 
     def find_variants_batch(
@@ -1021,14 +1068,21 @@ class DevicePipeline:
 
         B = _bucket(len(active), B_BUCKETS)
         act = np.asarray(active)
+        # sort active queries by charcount: tiles then cover narrow charcount
+        # ranges, which is what makes per-tile banding effective. (Results
+        # are re-scattered through the `active` list, so output order is
+        # unaffected; charcount == norm length for queries.)
+        cc_act = enc.counts_from_norms(all_norms[act], all_lens[act])
+        cc_sums = cc_act.sum(axis=1).astype(np.int32)
+        ord_cc = np.argsort(cc_sums, kind="stable")
+        act = act[ord_cc]
+        active = [active[i] for i in ord_cc]
         q_norms = np.zeros((B, L), dtype=self._norm_dtype)
         q_norms[: len(active)] = all_norms[act]
         q_lens = np.zeros(B, dtype=np.int32)
         q_lens[: len(active)] = all_lens[act]
         q_counts = np.zeros((B, A), dtype=np.int32)
-        q_counts[: len(active)] = enc.counts_from_norms(
-            all_norms[act], all_lens[act]
-        )
+        q_counts[: len(active)] = cc_act[ord_cc]
         q_first_lower = np.zeros(B, dtype=bool)
         q_first_lower[: len(active)] = [
             inputs[i][:1].islower() if inputs[i] else False for i in active
@@ -1044,6 +1098,19 @@ class DevicePipeline:
         )
 
         q_cc = q_counts.sum(axis=1).astype(np.int32)
+        start_blk, nb_band = self._band_plan(q_cc, k_ana, B)
+        if self._band_over_ceiling(B, nb_band) and len(active) > 1:
+            # band too wide for this batch bucket (mixed very-long/short
+            # queries at high k): split proactively rather than compile an
+            # over-ceiling program
+            prep_cm.__exit__(None, None, None)
+            return {
+                "results": results,
+                "active": active,
+                "inputs": inputs,
+                "params": params,
+                "split": True,
+            }
         stop_exact = np.full(
             B, params.stop_criterion is StopCriterion.STOP_AT_EXACT_MATCH
         )
@@ -1064,6 +1131,7 @@ class DevicePipeline:
                 k_ana,
                 k_ed,
                 stop_exact,
+                start_blk,
                 weights_arr,
                 np.float32(params.score_threshold),
             )
@@ -1077,7 +1145,7 @@ class DevicePipeline:
 
         # async dispatch at the current sticky budgets; collect() re-runs
         # synchronously on overflow
-        out = self._submit_fused(args, window, use_se)
+        out = self._submit_fused(args, window, nb_band, use_se)
         return {
             "results": results,
             "active": active,
@@ -1085,6 +1153,7 @@ class DevicePipeline:
             "params": params,
             "args": args,
             "window": window,
+            "nb_band": nb_band,
             "use_stop_exact": use_se,
             "B": B,
             "q_lens": q_lens,
@@ -1092,6 +1161,40 @@ class DevicePipeline:
             "submit_P": self._P_by_B[B],
             "submit_P2": self._P2_by_B[B],
         }
+
+    def _band_over_ceiling(self, B: int, nb_band: int) -> bool:
+        from .stage_a import ROW_BLOCK
+
+        return B * nb_band * ROW_BLOCK > 1_288_490_188
+
+    def _band_plan(self, q_cc: np.ndarray, k_ana: np.ndarray, B: int):
+        """Exact per-tile charcount band plan for a (padded) query batch.
+
+        Returns (start_blk int32 [B // B_TILE], nb_band) such that every
+        tile's block window [start, start + nb_band) covers all device rows
+        with charcount in [min(q_cc - k), max(q_cc + k)] over the tile's
+        active queries (k_ana < 0 marks padding). Mirrors the reference's
+        sortedindex charcount sweep (lib.rs:1266-1288) as a block range.
+        """
+        from .stage_a import ROW_BLOCK, _b_tile
+
+        bt = _b_tile(B)
+        nqt = B // bt
+        cc_t = q_cc.reshape(nqt, bt)
+        k_t = k_ana.reshape(nqt, bt)
+        act = k_t >= 0
+        lo_t = np.where(act, cc_t - k_t, np.iinfo(np.int32).max).min(axis=1)
+        hi_t = np.where(act, cc_t + k_t, -1).max(axis=1)
+        lo_row = np.searchsorted(self._cc_dev, lo_t, side="left")
+        hi_row = np.searchsorted(self._cc_dev, hi_t, side="right")
+        start = (lo_row // ROW_BLOCK).astype(np.int32)
+        need = np.maximum(-(-hi_row // ROW_BLOCK) - start, 1).astype(np.int32)
+        nb_band = _bucket(int(need.max(initial=1)), self.nb_buckets)
+        # clamp so every band window stays inside the padded row range;
+        # shifting a start down only widens coverage below
+        start = np.minimum(start, self.M_total - nb_band).astype(np.int32)
+        np.maximum(start, 0, out=start)
+        return start, nb_band
 
     def _collect_split(self, state) -> List[List[VariantResult]]:
         """Overflow fallback: recompute the batch exactly by splitting it."""
@@ -1117,9 +1220,13 @@ class DevicePipeline:
         inputs = state["inputs"]
         if not active:
             return [r if r is not None else [] for r in results]
+        if state.get("split"):
+            # band width exceeded the compile ceiling for this batch bucket
+            return self._collect_split(state)
         params = state["params"]
         args = state["args"]
         window = state["window"]
+        nb_band = state["nb_band"]
         B = state["B"]
         q_lens = state["q_lens"]
         model = self.model
@@ -1162,7 +1269,7 @@ class DevicePipeline:
             (
                 o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case,
                 max_freq, total_match, total_keep,
-            ) = self._run_fused(args, window, state["use_stop_exact"])
+            ) = self._run_fused(args, window, nb_band, state["use_stop_exact"])
 
         dev_cm.__exit__(None, None, None)
 
@@ -1170,9 +1277,10 @@ class DevicePipeline:
         tail_cm.__enter__()
         index = self.model.index
         vocab_ids = index.vocab_ids
-        # survivors arrive sorted by (query, canonical candidate): sort (a
-        # no-op for the single-device path, a shard merge for the mesh path)
-        # and split by query with a binary search
+        # survivors arrive as DEVICE rows (charcount-sorted layout): map back
+        # to canonical index rows, then restore the reference's (query,
+        # canonical candidate) order with a lexsort
+        o_c = self._canon_of[np.minimum(o_c, self.Ni_pad - 1)]
         order = np.lexsort((o_c, o_q))
         o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case = (
             x[order] for x in (o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case)

@@ -75,49 +75,86 @@ class ShardedPipeline(DevicePipeline):
         counts = index.counts.astype(np.int32)
         self.T = max(1, int(counts.max())) if counts.size else 1
 
-        # pad rows to uniform shards; on TPUs shards must also tile the fused
-        # stage-A kernel's row blocks
+        # pad rows to uniform shards; shards must also tile the band blocks
+        # (ROW_BLOCK) and the fused stage-A kernel's row blocks
         from ..ops.pipeline import _use_pallas
+        from ..ops.stage_a import ROW_BLOCK
 
-        unit = (2048 if _use_pallas() else 128) * self.n_lex
+        unit = (2048 if _use_pallas() else ROW_BLOCK) * self.n_lex
         Ni_pad = max(unit, -(-self.Ni // unit) * unit)
         self.Ni_pad = Ni_pad
         self.Ni_shard = Ni_pad // self.n_lex
-        # per-device stage-A mask is B_local x Ni_shard (see
+        self.M_shard = self.Ni_shard // ROW_BLOCK
+        self.M_total = self.M_shard  # per-shard band space (base-class name)
+        # per-device stage-A mask is B_local x band rows (see
         # DevicePipeline.max_B for the compile-size ceiling)
         self.max_B = pl.B_BUCKETS[0]
         for b in pl.B_BUCKETS:
-            if max(1, b // self.n_dp) * self.Ni_shard <= 1_288_490_188:
+            if (
+                max(1, b // self.n_dp)
+                * min(self.M_shard, 512)
+                * ROW_BLOCK
+                <= 1_288_490_188
+            ):
                 self.max_B = b
+        cand = (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+        self.nb_buckets = tuple(
+            [c for c in cand if c < self.M_shard] + [self.M_shard]
+        )
         pad = Ni_pad - self.Ni
 
+        # DEVICE LAYOUT: global charcount sort, then ROUND-ROBIN interleave
+        # across lexicon shards — every shard sees the full charcount range
+        # (balanced stage-B load for banded batches) and its local rows stay
+        # charcount-sorted, so per-shard banding works. Device flat id
+        # f = shard * Ni_shard + local corresponds to global sorted position
+        # local * n_lex + shard; _canon_of maps f back to canonical rows.
+        gperm = np.argsort(index.charcounts, kind="stable")
+
+        def to_dev(arr_sorted_padded):
+            """[Ni_pad, ...] in global-sorted order -> shard-major layout."""
+            shp = arr_sorted_padded.shape
+            return (
+                arr_sorted_padded.reshape(self.Ni_shard, self.n_lex, -1)
+                .swapaxes(0, 1)
+                .reshape(shp)
+            )
+
+        canon_sorted = np.full(Ni_pad, max(self.Ni - 1, 0), dtype=np.int64)
+        canon_sorted[: self.Ni] = gperm
+        self._canon_of = to_dev(canon_sorted)
+        cc_sorted = np.full(Ni_pad, BIG_L1, dtype=np.int32)
+        cc_sorted[: self.Ni] = index.charcounts[gperm]
+        cc = to_dev(cc_sorted)
+        # per-shard ascending charcount columns for the host band plan
+        self._cc_shard = cc.reshape(self.n_lex, self.Ni_shard)
+
         t_levels = np.arange(self.T, dtype=np.int32)[None, None, :]
-        bins = (counts[:, :, None] > t_levels).reshape(self.Ni, self.A * self.T)
-        bins = np.pad(bins, ((0, pad), (0, 0))).astype(np.int8)
-        cc = np.pad(index.charcounts, (0, pad), constant_values=BIG_L1).astype(
-            np.int32
-        )
+        bins = np.zeros((Ni_pad, self.A * self.T), dtype=np.int8)
+        bins[: self.Ni] = (
+            counts[gperm][:, :, None] > t_levels
+        ).reshape(self.Ni, self.A * self.T)
+        bins = to_dev(bins)
         # int8 norms when indices fit (see DevicePipeline: the per-pair norm
         # gather is byte-bound; _query_core widens after the gather)
         max_norm_idx = int(index.norms.max(initial=0))
         self._norm_dtype = np.int8 if max_norm_idx < 120 else np.int32
-        norms2 = np.concatenate(
-            [
-                np.pad(
-                    index.norms.astype(self._norm_dtype),
-                    ((0, pad), (0, self.L - index.norms.shape[1])),
-                ),
-                np.pad(
-                    index.norms_reversed().astype(self._norm_dtype),
-                    ((0, pad), (0, self.L - index.norms.shape[1])),
-                ),
-            ],
-            axis=1,
-        )
-        norm_lens = np.pad(index.norm_lens, (0, pad)).astype(np.int32)
-        freqs = np.pad(index.freqs.astype(np.uint32), (0, pad))
-        first_lower = np.pad(index.first_lower, (0, pad))
-        validrows = np.arange(Ni_pad) < self.Ni
+        wn = index.norms.shape[1]
+        norms2 = np.zeros((Ni_pad, 2 * self.L), dtype=self._norm_dtype)
+        norms2[: self.Ni, :wn] = index.norms[gperm]
+        norms2[: self.Ni, self.L : self.L + wn] = index.norms_reversed()[gperm]
+        norms2 = to_dev(norms2)
+        norm_lens = np.zeros(Ni_pad, dtype=np.int32)
+        norm_lens[: self.Ni] = index.norm_lens[gperm]
+        norm_lens = to_dev(norm_lens)
+        freqs = np.zeros(Ni_pad, dtype=np.uint32)
+        freqs[: self.Ni] = index.freqs[gperm].astype(np.uint32)
+        freqs = to_dev(freqs)
+        first_lower = np.zeros(Ni_pad, dtype=bool)
+        first_lower[: self.Ni] = index.first_lower[gperm]
+        first_lower = to_dev(first_lower)
+        valid_sorted = np.arange(Ni_pad) < self.Ni
+        validrows = to_dev(valid_sorted)
 
         row_sharding = NamedSharding(self.mesh, P("lex"))
         self._idx = tuple(
@@ -147,10 +184,10 @@ class ShardedPipeline(DevicePipeline):
     # ------------------------------------------------------------------
 
     def _sharded_fn(
-        self, P_: int, P2: int, window: int, use_stop_exact: bool,
-        have_freq: bool,
+        self, P_: int, P2: int, window: int, nb_band: int,
+        use_stop_exact: bool, have_freq: bool,
     ):
-        key = (P_, P2, window, use_stop_exact, have_freq)
+        key = (P_, P2, window, nb_band, use_stop_exact, have_freq)
         fn = self._sharded_cache.get(key)
         if fn is not None:
             return fn
@@ -159,6 +196,7 @@ class ShardedPipeline(DevicePipeline):
 
         idx_specs = (P("lex"),) * 7
         q_specs = (P("dp"),) * 8  # q_counts, q_cc, q_norms, q_lens, q_fl, k_ana, k_ed, stop
+        band_specs = (P("dp", "lex"),)  # start_blk [n_dp, n_lex, nqt_local]
         rep_specs = (P(), P())  # weights, threshold
 
         @partial(
@@ -167,7 +205,7 @@ class ShardedPipeline(DevicePipeline):
             # the DP loop carries constant-initialized buffers; skip the
             # varying-manual-axes analysis (outputs are explicitly combined)
             check_vma=False,
-            in_specs=idx_specs + q_specs + rep_specs,
+            in_specs=idx_specs + q_specs + band_specs + rep_specs,
             out_specs=(
                 P(("dp", "lex")),  # per-shard packed int32 buffer
                 P("dp"),  # max_freq (pmax over lex)
@@ -176,7 +214,7 @@ class ShardedPipeline(DevicePipeline):
         def step(
             bins, cc, validrows, norms2, norm_lens, freqs, first_lower,
             q_counts, q_cc, q_norms, q_lens, q_first_lower, k_ana,
-            k_ed, stop_exact, weights, score_threshold,
+            k_ed, stop_exact, start_blk, weights, score_threshold,
         ):
             B_local = q_counts.shape[0]
             (
@@ -185,8 +223,10 @@ class ShardedPipeline(DevicePipeline):
             ) = _query_core(
                 bins, cc, validrows, norms2, norm_lens, freqs, first_lower,
                 q_counts, q_cc, q_norms, q_lens, q_first_lower,
-                k_ana, k_ed, stop_exact, weights, score_threshold, have_freq,
-                P=P_, P2=P2, window=window, use_stop_exact=use_stop_exact,
+                k_ana, k_ed, stop_exact, start_blk.reshape(-1),
+                weights, score_threshold, have_freq,
+                P=P_, P2=P2, window=window, nb_band=nb_band,
+                use_stop_exact=use_stop_exact,
             )  # have_freq is a static closure value
             dp_i = jax.lax.axis_index("dp")
             lex_i = jax.lax.axis_index("lex")
@@ -258,22 +298,64 @@ class ShardedPipeline(DevicePipeline):
                 self._P2_by_B[B] = pl.P2_BUCKETS[0]
         return self._P_by_B[B], self._P2_by_B[B]
 
-    def _submit_fused(self, args, window: int, use_stop_exact: bool = True):
+    def _band_plan(self, q_cc: np.ndarray, k_ana: np.ndarray, B: int):
+        """Per-(dp shard, lex shard, tile) band plan.
+
+        Queries arrive charcount-sorted (base submit), so each dp-local
+        contiguous chunk is sorted too; each lex shard holds every n_lex-th
+        globally-sorted row, so shard-local bands are ~1/n_lex of the global
+        band. Returns (start_blk int32 [n_dp, n_lex, nqt_local], nb_band).
+        """
+        from ..ops.stage_a import B_TILE, ROW_BLOCK
+
+        B_local = B // self.n_dp
+        bt = min(B_local, B_TILE)
+        nqt = B_local // bt
+        cc_t = q_cc.reshape(self.n_dp, nqt, bt)
+        k_t = k_ana.reshape(self.n_dp, nqt, bt)
+        act = k_t >= 0
+        lo_t = np.where(act, cc_t - k_t, np.iinfo(np.int32).max).min(axis=2)
+        hi_t = np.where(act, cc_t + k_t, -1).max(axis=2)  # [n_dp, nqt]
+        starts = np.zeros((self.n_dp, self.n_lex, nqt), dtype=np.int32)
+        need_max = 1
+        for s in range(self.n_lex):
+            cc_s = self._cc_shard[s]
+            lo_row = np.searchsorted(cc_s, lo_t, side="left")
+            hi_row = np.searchsorted(cc_s, hi_t, side="right")
+            st = (lo_row // ROW_BLOCK).astype(np.int32)
+            need = np.maximum(-(-hi_row // ROW_BLOCK) - st, 1)
+            need_max = max(need_max, int(need.max(initial=1)))
+            starts[:, s, :] = st
+        nb_band = pl._bucket(need_max, self.nb_buckets)
+        np.minimum(starts, self.M_shard - nb_band, out=starts)
+        np.maximum(starts, 0, out=starts)
+        return starts, nb_band
+
+    def _band_over_ceiling(self, B: int, nb_band: int) -> bool:
+        from ..ops.stage_a import ROW_BLOCK
+
+        return (
+            max(1, B // self.n_dp) * nb_band * ROW_BLOCK > 1_288_490_188
+        )
+
+    def _submit_fused(
+        self, args, window: int, nb_band: int, use_stop_exact: bool = True
+    ):
         # shard query arrays over dp
         (
             q_counts, q_cc, q_norms, q_lens, q_first_lower, k_ana,
-            k_ed, stop_exact, weights, score_threshold,
+            k_ed, stop_exact, start_blk, weights, score_threshold,
         ) = args
         B = q_counts.shape[0]
         P, P2 = self._budgets(B)
         fn = self._sharded_fn(
-            P, P2, window, use_stop_exact,
+            P, P2, window, nb_band, use_stop_exact,
             bool(self.model.have_freq),
         )
         buf, max_freq = fn(
             *self._idx,
             q_counts, q_cc, q_norms, q_lens, q_first_lower, k_ana,
-            k_ed, stop_exact, weights, score_threshold,
+            k_ed, stop_exact, start_blk, weights, score_threshold,
         )
         try:
             buf.copy_to_host_async()

@@ -94,12 +94,15 @@ def test_sharded_budget_escalation_and_overflow_split(eng_model, monkeypatch):
     from analiticcl_tpu.ops import pipeline as pl_mod
     from analiticcl_tpu.parallel.mesh import ShardedPipeline, make_mesh
 
+    # the charcount-interleaved shard layout balances per-shard survivor
+    # counts, so buckets must be small enough that balanced shards still
+    # overflow them
     monkeypatch.setattr(pl_mod, "P_BUCKETS", (64, 256))
-    monkeypatch.setattr(pl_mod, "P2_BUCKETS", (32, 64))
+    monkeypatch.setattr(pl_mod, "P2_BUCKETS", (16, 24))
 
     mesh = make_mesh(jax.devices(), dp=2)
     pipe = ShardedPipeline(eng_model, mesh)
-    assert pipe._budgets(8) == (64, 32)  # smallest buckets on CPU
+    assert pipe._budgets(8) == (64, 16)  # smallest buckets on CPU
 
     params = SearchParameters(
         max_anagram_distance=DistanceThreshold.absolute(3),
@@ -118,7 +121,7 @@ def test_sharded_budget_escalation_and_overflow_split(eng_model, monkeypatch):
             eng_model, want[i % len(QUERIES)]
         ), q
     # budgets escalated to the top bucket along the way
-    assert (max(pipe._P_by_B.values()), max(pipe._P2_by_B.values())) == (256, 64)
+    assert (max(pipe._P_by_B.values()), max(pipe._P2_by_B.values())) == (256, 24)
 
 
 def test_sharded_streaming_and_oversized_batch(eng_model, monkeypatch):

@@ -147,12 +147,17 @@ def test_stage_a_pallas_matches_xla_bit_for_bit(seed, B):
     k_ana = rng.integers(0, 4, size=B).astype(np.int32)
     k_ana[0] = -1  # padding-row convention: matches nothing
 
+    # full-scan band: start block 0, width = whole (padded) lexicon
+    start_blk = jnp.zeros(1, dtype=jnp.int32)
+    nb_band = Ni // 1024
     args = (jnp.asarray(qbin), jnp.asarray(q_cc), jnp.asarray(k_ana))
     p_packed, p_exact, p_counts, p_nm, p_ne = stage_a_masks_pallas(
-        jnp.asarray(bins), jnp.asarray(cc), *args, interpret=True
+        jnp.asarray(bins), jnp.asarray(cc), *args, start_blk, nb_band,
+        interpret=True,
     )
     x_packed, x_exact, x_counts, x_nm, x_ne = stage_a_masks_xla(
-        jnp.asarray(bins), jnp.asarray(cc), jnp.asarray(validrows), *args
+        jnp.asarray(bins), jnp.asarray(cc), jnp.asarray(validrows), *args,
+        start_blk, nb_band,
     )
     np.testing.assert_array_equal(np.asarray(p_packed), np.asarray(x_packed))
     np.testing.assert_array_equal(np.asarray(p_exact), np.asarray(x_exact))
@@ -164,3 +169,19 @@ def test_stage_a_pallas_matches_xla_bit_for_bit(seed, B):
     l1 = np.abs(counts[:, None, :] - qc[None, :, :]).sum(axis=2)  # [Ni, B]
     mask = (l1 <= k_ana[None, :]) & validrows[:, None]
     np.testing.assert_array_equal(np.asarray(x_nm), mask.sum(axis=0))
+
+    # banded window [1024, 2048): both backends agree bit-for-bit and match
+    # numpy restricted to the same rows
+    start_b = jnp.ones(1, dtype=jnp.int32)
+    pb = stage_a_masks_pallas(
+        jnp.asarray(bins), jnp.asarray(cc), *args, start_b, 1, interpret=True
+    )
+    xb = stage_a_masks_xla(
+        jnp.asarray(bins), jnp.asarray(cc), jnp.asarray(validrows), *args,
+        start_b, 1,
+    )
+    for p_arr, x_arr in zip(pb, xb):
+        np.testing.assert_array_equal(np.asarray(p_arr), np.asarray(x_arr))
+    np.testing.assert_array_equal(
+        np.asarray(xb[3]), mask[1024:2048].sum(axis=0)
+    )

@@ -68,8 +68,12 @@ def main():
     pipe.collect(state)
     args = state["args"]
     window = state["window"]
+    nb_band = state["nb_band"]
     PP, P2 = state["submit_P"], state["submit_P2"]
-    log(f"budgets: P={PP} P2={P2} window={window} Ni_pad={pipe.Ni_pad}")
+    log(
+        f"budgets: P={PP} P2={P2} window={window} nb_band={nb_band} "
+        f"Ni_pad={pipe.Ni_pad}"
+    )
 
     idx = pipe._idx
     core = P._query_core
@@ -80,7 +84,8 @@ def main():
         def fn(*all_args):
             out = core(
                 *all_args, have_freq=bool(model.have_freq),
-                P=PP, P2=P2, window=window, stop_stage=stop,
+                P=PP, P2=P2, window=window, nb_band=nb_band,
+                stop_stage=stop,
             )
             return out
 
@@ -104,7 +109,7 @@ def main():
             fn = jax.jit(
                 lambda *a: core(
                     *a, have_freq=bool(model.have_freq),
-                    P=PP, P2=P2, window=window,
+                    P=PP, P2=P2, window=window, nb_band=nb_band,
                 )
             )
         else:
