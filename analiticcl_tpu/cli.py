@@ -584,6 +584,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     model, params = build_model_from_args(args)
     print("Building model...", file=sys.stderr)
     model.build()
+    # steady-state serving: freeze the model heap so gen-2 GC passes stop
+    # rescanning the (large, immortal) vocabulary on every few batches
+    from .utils.gc_tuning import freeze_model_heap
+
+    freeze_model_heap()
 
     if args.command == "index":
         print("Computing and outputting anagram index...", file=sys.stderr)

@@ -1,0 +1,27 @@
+"""CPython GC tuning for steady-state query serving.
+
+A built model holds hundreds of thousands of long-lived Python objects
+(decoder entries, encoder strings). CPython's generational GC rescans ALL
+tracked objects on every gen-2 collection — measured at ~180 ms per pause on
+a 120k-entry lexicon, firing every ~5 query batches and showing up as a
+bimodal ~2x throughput stall (the round-2 bench mystery). Freezing the heap
+after build moves those objects to the permanent generation: gen-2 pauses
+drop to ~13 ms and batch times become uniform.
+
+This is application-level tuning (the CLI, bench, and suite call it after
+their models are built); the library never mutates GC state behind an
+embedding application's back.
+"""
+
+from __future__ import annotations
+
+import gc
+
+
+def freeze_model_heap() -> int:
+    """Collect garbage, then freeze all surviving objects into the permanent
+    generation. Call once after models are loaded and built. Returns the
+    number of frozen objects."""
+    gc.collect()
+    gc.freeze()
+    return gc.get_freeze_count()

@@ -98,8 +98,16 @@ def main():
                 log(f"  MISMATCH {q!r}: oracle={o[:3]} device={d[:3]}")
         raise SystemExit("device/oracle mismatch — benchmark aborted")
 
+    # freeze the model heap: gen-2 GC rescans of the 120k-entry decoder cost
+    # ~180 ms every ~5 batches otherwise (the round-2 bimodal stall)
+    from analiticcl_tpu.utils.gc_tuning import freeze_model_heap
+
+    frozen = freeze_model_heap()
+    log(f"gc: froze {frozen} model-heap objects")
+
     # 4096-query device batches: the tunnel round trip (~30 ms) and the fixed
-    # dispatch cost amortize 4x vs 1024 (measured ~22k vs ~12k q/s median)
+    # dispatch cost amortize 4x vs 1024 (measured ~22k vs ~12k q/s median;
+    # 8192 measured worse — the pipeline-fill cost dominates at 2 batches)
     B = 4096
     t0 = time.time()
     model.find_variants_batch(queries[:B], params)
@@ -109,21 +117,29 @@ def main():
     model.find_variants_batch(queries[:B], params)
     log(f"warm batch: {time.time() - t0:.3f}s")
 
-    # the TPU is remote-attached (~±20% tunnel variance): report the MEDIAN of
-    # five passes — robust to transient load without favoring lucky windows
+    # the TPU is remote-attached (~±20% tunnel variance): run ONE continuous
+    # warm stream (the reference's steady-state items/sec methodology,
+    # performance.md:106-114) and report the MEDIAN of five 16384-query
+    # windows — robust to transient load without paying the pipeline-fill
+    # latency five times
+    N_PASSES = 5
+    all_queries = queries * N_PASSES
     passes = []
-    for attempt in range(5):
-        t0 = time.time()
-        done = 0
-        for _res in model.find_variants_stream(queries, params, batch_size=B):
-            done += 1
-        elapsed = time.time() - t0
-        run_qps = done / elapsed
-        log(
-            f"pass {attempt + 1}: {done} queries in {elapsed:.2f}s "
-            f"= {run_qps:.0f} q/s"
-        )
-        passes.append(run_qps)
+    t0 = time.time()
+    last = t0
+    done = 0
+    for _res in model.find_variants_stream(all_queries, params, batch_size=B):
+        done += 1
+        if done % len(queries) == 0:
+            now = time.time()
+            elapsed = now - last
+            run_qps = len(queries) / elapsed
+            log(
+                f"window {done // len(queries)}: {len(queries)} queries in "
+                f"{elapsed:.2f}s = {run_qps:.0f} q/s"
+            )
+            passes.append(run_qps)
+            last = now
     passes.sort()
     qps = passes[len(passes) // 2]
     log(f"median of {len(passes)}: {qps:.0f} q/s (min {passes[0]:.0f}, max {passes[-1]:.0f})")

@@ -51,6 +51,9 @@ def _model(lexicon):
     model.build()
     build_s = time.time() - t0
     model.set_backend("device")
+    from analiticcl_tpu.utils.gc_tuning import freeze_model_heap
+
+    freeze_model_heap()
     return model, build_s
 
 
