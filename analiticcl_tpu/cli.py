@@ -185,8 +185,9 @@ def output_matches_as_tsv(
     offset: Optional[Offset],
     output_lexmatch: bool,
     freq_weight: float,
-    out: IO = sys.stdout,
+    out: Optional[IO] = None,
 ) -> None:
+    out = out if out is not None else sys.stdout
     out.write(input_text)
     if offset is not None:
         out.write(f"\t{offset.begin}:{offset.end}")
@@ -240,8 +241,9 @@ def output_matches_as_json(
     seqnr: int,
     tag: List[int],
     tag_seqnr: List[int],
-    out: IO = sys.stdout,
+    out: Optional[IO] = None,
 ) -> None:
+    out = out if out is not None else sys.stdout
     out.write("    ," if seqnr > 1 else "    ")
     out.write(f'{{ "input": "{_json_escape(input_text)}"')
     if offset is not None:
@@ -264,16 +266,28 @@ def output_matches_as_json(
                     out.write(",\n")
                 output_result_as_json(model, result, output_lexmatch, freq_weight, out)
                 wrote = True
-        out.write("\n\n    ] }\n")
+        # reference: println!("") then println!("    ] }}") (bin:142-143)
+        out.write("\n    ] }\n")
     else:
         out.write(" }\n")
 
 
 def output_weighted_variants_as_tsv(
-    model: VariantModel, multioutput: bool, out: IO = sys.stdout
+    model: VariantModel, multioutput: bool, out: Optional[IO] = None
 ) -> None:
+    """Learn-mode TSV emitter (reference bin:190-268).
+
+    Deliberate divergences from the reference, documented in PARITY.md: the
+    reference's multi-output lexindex filter is broken (``lexindex & (1<<i)
+    == i << i``, bin:202 — writes rows to the WRONG per-lexicon files); this
+    emitter uses the correct membership test. File rows keep the reference's
+    layout (leading tab, text/score/freq) and files are truncated per run
+    (File::create semantics), and the head word still goes to stdout even in
+    multi-output mode, exactly as the reference's outer loop does.
+    """
     from .types import VariantReferenceKind
 
+    out = out if out is not None else sys.stdout
     outfiles = {}
     for item in model.decoder:
         if item.variants is None:
@@ -283,6 +297,10 @@ def output_weighted_variants_as_tsv(
             if variant.kind is not VariantReferenceKind.REFERENCE_FOR:
                 continue
             variantitem = model.decoder[variant.vocab_id]
+            # head word goes to stdout in BOTH modes (reference bin:245-248)
+            if first:
+                out.write(item.text)
+                first = False
             if multioutput:
                 for lexindex in range(len(model.lexicons)):
                     if not variantitem.in_lexicon(lexindex):
@@ -291,7 +309,7 @@ def output_weighted_variants_as_tsv(
                     if f is None:
                         f = open(
                             f"{model.lexicons[lexindex]}.variants.tsv",
-                            "a",
+                            "w",
                             encoding="utf-8",
                         )
                         outfiles[lexindex] = f
@@ -300,9 +318,6 @@ def output_weighted_variants_as_tsv(
                         f"\t{variantitem.frequency}\n"
                     )
             else:
-                if first:
-                    out.write(item.text)
-                    first = False
                 out.write(f"\t{variantitem.text}\t{_fmt_float(variant.score)}")
         if not first:
             out.write("\n")
@@ -311,10 +326,20 @@ def output_weighted_variants_as_tsv(
 
 
 def output_weighted_variants_as_json(
-    model: VariantModel, multioutput: bool, out: IO = sys.stdout
+    model: VariantModel, multioutput: bool, out: Optional[IO] = None
 ) -> None:
+    """Learn-mode JSON emitter (reference bin:271-367).
+
+    Multi-output writes per-lexicon ``<lexicon>.variants.json`` row files
+    while the skeleton stays on stdout, as the reference does. Deliberate
+    divergence (PARITY.md): the reference's multi-output row format swaps
+    the score and freq values (format args reversed, bin:311-316) and
+    double-spaces after "text"; this emitter writes them correctly.
+    """
     from .types import VariantReferenceKind
 
+    out = out if out is not None else sys.stdout
+    outfiles = {}
     out.write("{\n")
     for item in model.decoder:
         first = True
@@ -326,14 +351,35 @@ def output_weighted_variants_as_json(
                 if first:
                     out.write(f'    "{_json_escape(item.text)}": [ \n')
                     first = False
-                out.write(
-                    f'        {{ "text": "{_json_escape(variantitem.text)}", '
-                    f'"score": {_fmt_float(variant.score)}, '
-                    f'"freq": {variantitem.frequency} }}, \n'
-                )
+                if multioutput:
+                    for lexindex in range(len(model.lexicons)):
+                        if not variantitem.in_lexicon(lexindex):
+                            continue
+                        f = outfiles.get(lexindex)
+                        if f is None:
+                            f = open(
+                                f"{model.lexicons[lexindex]}.variants.json",
+                                "w",
+                                encoding="utf-8",
+                            )
+                            outfiles[lexindex] = f
+                        f.write(
+                            f'        {{ "text": '
+                            f'"{_json_escape(variantitem.text)}", '
+                            f'"score": {_fmt_float(variant.score)}, '
+                            f'"freq": {variantitem.frequency} }}, '
+                        )
+                else:
+                    out.write(
+                        f'        {{ "text": "{_json_escape(variantitem.text)}", '
+                        f'"score": {_fmt_float(variant.score)}, '
+                        f'"freq": {variantitem.frequency} }}, \n'
+                    )
         if not first:
             out.write("    ]\n")
     out.write("}\n")
+    for f in outfiles.values():
+        f.close()
 
 
 # ---------------------------------------------------------------------------

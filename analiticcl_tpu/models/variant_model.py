@@ -635,10 +635,13 @@ class VariantModel:
             counts = counts[order]
             # norm indices are alphabet positions: int8 whenever they fit
             # (fresh-page faults cost ~70 ms/MB on Firecracker-style VMs, so
-            # the index keeps narrow dtypes end-to-end; the device pipeline
-            # already consumes either width)
-            norm_dtype = np.int8 if A + 1 < 127 else np.int32
-            norms = norms_all.astype(norm_dtype)[order]
+            # the index keeps narrow dtypes end-to-end — the native
+            # normalizer already emits int8 for small alphabets; the device
+            # pipeline consumes either width)
+            norm_dtype = np.int8 if A <= 126 else np.int32
+            if norms_all.dtype != norm_dtype:
+                norms_all = norms_all.astype(norm_dtype)
+            norms = norms_all[order]
             norm_lens = np.minimum(lens_all[order], max_norm_len).astype(np.int32)
             charcounts = counts.sum(axis=1, dtype=np.int32)
             # columns collected in the single decoder pass above
@@ -1046,6 +1049,37 @@ class VariantModel:
                         break
                 else:
                     bestscore = result.score(freq_weight)
+        if cutoff > 0:
+            del results[cutoff:]
+        return results
+
+    def late_rescore_and_cutoff(
+        self,
+        results: List[VariantResult],
+        input_text: str,
+        params: SearchParameters,
+    ) -> List[VariantResult]:
+        """Late-confusables rescoring + relative cutoff over an
+        already-cropped list — the tail of :meth:`_rank_tail` after the
+        max_matches crop (lib.rs:1592-1622). Used by the device pipeline's
+        vectorized ranking fast path, which crops whole batches at once and
+        then rescores only the few survivors per query."""
+        if self.confusables and not self.confusables_before_pruning:
+            self.rescore_confusables(results, input_text)
+            rank_results(results, params.freq_weight)
+        cutoff = 0
+        bestscore: Optional[float] = None
+        if params.cutoff_threshold >= 1.0:
+            for i, result in enumerate(results):
+                if bestscore is not None:
+                    if (
+                        result.score(params.freq_weight)
+                        <= bestscore / params.cutoff_threshold
+                    ):
+                        cutoff = i
+                        break
+                else:
+                    bestscore = result.score(params.freq_weight)
         if cutoff > 0:
             del results[cutoff:]
         return results
@@ -2043,20 +2077,71 @@ class VariantModel:
                         line_out.append((m.text, solution))
                 all_variants.append(line_out)
 
+        # Merge phase: same per-item semantics as the reference's serial
+        # merge (lib.rs:1098-1126) — first-mention-wins links, frequency
+        # increment on first consecutive occurrence — but link dedup runs
+        # against per-entry SETS built once per touched entry instead of
+        # re-scanning the variants list per pair (the list scan made popular
+        # reference entries quadratic: ~0.5 s per 20k learned variants).
         count = 0
         prev: Optional[str] = None
+        encoder_get = self.encoder.get
+        decoder = self.decoder
+        ref_for: Dict[int, set] = {}  # ref_id -> {variant ids linked}
+        var_of: Dict[int, set] = {}  # variant id -> {vocab ids in VARIANT_OF checks}
+        REF_FOR = VariantReferenceKind.REFERENCE_FOR
+        VAR_OF = VariantReferenceKind.VARIANT_OF
         for inputstr, result in (
             item for sublist in all_variants for item in sublist
         ):
-            vocab_id = self.encoder.get(inputstr)
+            vocab_id = encoder_get(inputstr)
             if vocab_id is not None:
                 if prev != inputstr:
-                    self.decoder[vocab_id].frequency += 1
+                    decoder[vocab_id].frequency += 1
             else:
                 vocab_id = self.add_to_vocabulary(inputstr, 1, vocabparams)
-            if result.vocab_id != vocab_id:
-                if self.add_variant_by_id(result.vocab_id, vocab_id, result.dist_score):
-                    count += 1
+            ref_id = result.vocab_id
+            if ref_id != vocab_id:
+                # inlined add_variant_by_id with cached dedup sets
+                # (add_variant_by_id returns True whenever the ids differ)
+                refitem = decoder[ref_id] if ref_id < len(decoder) else None
+                if refitem is not None:
+                    seen = ref_for.get(ref_id)
+                    if seen is None:
+                        seen = {
+                            v.vocab_id
+                            for v in (refitem.variants or [])
+                            if v.kind is REF_FOR
+                        }
+                        ref_for[ref_id] = seen
+                    if vocab_id not in seen:
+                        ref = VariantReference(REF_FOR, vocab_id, result.dist_score)
+                        if refitem.variants is None:
+                            refitem.variants = [ref]
+                        else:
+                            refitem.variants.append(ref)
+                        seen.add(vocab_id)
+                varitem = decoder[vocab_id] if vocab_id < len(decoder) else None
+                if varitem is not None:
+                    seen = var_of.get(vocab_id)
+                    if seen is None:
+                        seen = {
+                            v.vocab_id
+                            for v in (varitem.variants or [])
+                            if v.kind is VAR_OF
+                        }
+                        var_of[vocab_id] = seen
+                    # reference quirk: the VariantOf-side dedup compares
+                    # against the VARIANT id, not the reference id
+                    # (lib.rs:497-508); mirrored by add_variant_by_id
+                    if vocab_id not in seen:
+                        ref = VariantReference(VAR_OF, ref_id, result.dist_score)
+                        if varitem.variants is None:
+                            varitem.variants = [ref]
+                        else:
+                            varitem.variants.append(ref)
+                        seen.add(ref_id)
+                count += 1
             prev = inputstr
         if auto_build:
             self.build()

@@ -64,14 +64,17 @@ void parallel_ranges(int32_t n, Fn fn) {
 }
 
 // Normalize texts [t0, t1) where text t spans bytes [starts[t], ends[t]).
+// OutT is int32_t (general) or int8_t (alphabets with <= 126 classes, the
+// common case — million-entry ingestion keeps 4x fewer bytes end-to-end).
+template <typename OutT>
 void normalize_range(Matcher* m, const char* texts, const int64_t* starts,
                      const int64_t* ends, int32_t t0, int32_t t1,
-                     int32_t max_len, int32_t* out_norms, int32_t* out_lens) {
+                     int32_t max_len, OutT* out_norms, int32_t* out_lens) {
     const int32_t unk = m->n_classes + 1;
     for (int32_t t = t0; t < t1; t++) {
         const char* s = texts + starts[t];
         int64_t n = ends[t] - starts[t];
-        int32_t* out = out_norms + (int64_t)t * max_len;
+        OutT* out = out_norms + (int64_t)t * max_len;
         int32_t len = 0;
         int64_t i = 0;
         while (i < n) {
@@ -97,7 +100,7 @@ void normalize_range(Matcher* m, const char* texts, const int64_t* starts,
                 adv = utf8_len(c);
                 if (adv > n - i) adv = n - i;
             }
-            if (len < max_len) out[len] = cls;
+            if (len < max_len) out[len] = (OutT)cls;
             len++;
             i += adv;
         }
@@ -166,25 +169,52 @@ void ananorm_normalize_se(void* handle, const char* texts,
     });
 }
 
+// int8 output variant (valid when every class index incl. UNK fits int8)
+void ananorm_normalize_se8(void* handle, const char* texts,
+                           const int64_t* starts, const int64_t* ends,
+                           int32_t n_texts, int32_t max_len,
+                           int8_t* out_norms, int32_t* out_lens) {
+    Matcher* m = static_cast<Matcher*>(handle);
+    parallel_ranges(n_texts, [=](int32_t t0, int32_t t1) {
+        normalize_range(m, texts, starts, ends, t0, t1, max_len, out_norms,
+                        out_lens);
+    });
+}
+
 // Count vectors from normalized strings: out_counts [n_texts, n_slots] uint8
 // (saturating at 255). Norm entries >= unk_norm_index (or out of range) land
 // in the UNK slot n_slots-1 (anahash.rs:42 convention).
-void ananorm_counts_batch(const int32_t* norms, const int32_t* lens,
-                          int32_t n_texts, int32_t max_len, int32_t n_slots,
-                          uint8_t* out_counts) {
+extern "C++" {
+template <typename NT>
+static void counts_batch_impl(const NT* norms, const int32_t* lens,
+                              int32_t n_texts, int32_t max_len,
+                              int32_t n_slots, uint8_t* out_counts) {
     parallel_ranges(n_texts, [=](int32_t r0, int32_t r1) {
         for (int32_t t = r0; t < r1; t++) {
-            const int32_t* nm = norms + (int64_t)t * max_len;
+            const NT* nm = norms + (int64_t)t * max_len;
             uint8_t* out = out_counts + (int64_t)t * n_slots;
             memset(out, 0, n_slots);
             int32_t len = lens[t] < max_len ? lens[t] : max_len;
             for (int32_t k = 0; k < len; k++) {
-                int32_t cls = nm[k];
+                int32_t cls = (int32_t)nm[k];
                 if (cls < 0 || cls >= n_slots) cls = n_slots - 1;
                 if (out[cls] != 255) out[cls]++;
             }
         }
     });
+}
+}  // extern "C++"
+
+void ananorm_counts_batch(const int32_t* norms, const int32_t* lens,
+                          int32_t n_texts, int32_t max_len, int32_t n_slots,
+                          uint8_t* out_counts) {
+    counts_batch_impl(norms, lens, n_texts, max_len, n_slots, out_counts);
+}
+
+void ananorm_counts_batch8(const int8_t* norms, const int32_t* lens,
+                           int32_t n_texts, int32_t max_len, int32_t n_slots,
+                           uint8_t* out_counts) {
+    counts_batch_impl(norms, lens, n_texts, max_len, n_slots, out_counts);
 }
 
 // Prime-product anagram values as 64-byte big-endian integers (for exact
@@ -192,10 +222,12 @@ void ananorm_counts_batch(const int32_t* norms, const int32_t* lens,
 // lib.rs:222-245 / BTreeSet). norms/lens as produced above; primes has
 // n_classes+1 entries (last = UNK prime, anahash.rs:42). Values overflowing
 // 512 bits saturate to all-0xFF (sorts last; such words are >160 chars).
-void ananorm_anavalue_batch(const int32_t* norms, const int32_t* lens,
-                            int32_t n_texts, int32_t max_len,
-                            const uint32_t* primes, int32_t n_primes,
-                            int32_t unk_norm_index, uint8_t* out_bytes) {
+extern "C++" {
+template <typename NT>
+static void anavalue_batch_impl(const NT* norms, const int32_t* lens,
+                                int32_t n_texts, int32_t max_len,
+                                const uint32_t* primes, int32_t n_primes,
+                                int32_t unk_norm_index, uint8_t* out_bytes) {
     const int NB = 64;  // bytes per value
     const int NW = 16;  // 32-bit words
     parallel_ranges(n_texts, [=](int32_t r0, int32_t r1) {
@@ -204,10 +236,10 @@ void ananorm_anavalue_batch(const int32_t* norms, const int32_t* lens,
         std::fill(acc.begin(), acc.end(), 0u);
         acc[0] = 1u;
         bool overflow = false;
-        const int32_t* nm = norms + (int64_t)t * max_len;
+        const NT* nm = norms + (int64_t)t * max_len;
         int32_t len = lens[t] < max_len ? lens[t] : max_len;
         for (int32_t k = 0; k < len && !overflow; k++) {
-            int32_t cls = nm[k];
+            int32_t cls = (int32_t)nm[k];
             if (cls == unk_norm_index) cls = n_primes - 1;  // UNK slot
             if (cls < 0 || cls >= n_primes) cls = n_primes - 1;
             uint64_t p = primes[cls];
@@ -234,6 +266,23 @@ void ananorm_anavalue_batch(const int32_t* norms, const int32_t* lens,
         }
     }
     });
+}
+}  // extern "C++"
+
+void ananorm_anavalue_batch(const int32_t* norms, const int32_t* lens,
+                            int32_t n_texts, int32_t max_len,
+                            const uint32_t* primes, int32_t n_primes,
+                            int32_t unk_norm_index, uint8_t* out_bytes) {
+    anavalue_batch_impl(norms, lens, n_texts, max_len, primes, n_primes,
+                        unk_norm_index, out_bytes);
+}
+
+void ananorm_anavalue_batch8(const int8_t* norms, const int32_t* lens,
+                             int32_t n_texts, int32_t max_len,
+                             const uint32_t* primes, int32_t n_primes,
+                             int32_t unk_norm_index, uint8_t* out_bytes) {
+    anavalue_batch_impl(norms, lens, n_texts, max_len, primes, n_primes,
+                        unk_norm_index, out_bytes);
 }
 
 // ---------------------------------------------------------------------------

@@ -104,11 +104,14 @@ THRESHOLD_SLACK = 1e-4
 # static shape buckets
 B_BUCKETS = (8, 64, 256, 1024, 2048, 4096, 8192)
 B_BASE = 1024  # reference size for scaling per-bucket pair budgets
-# candidate-pair budget; capped at 768k pairs — the remote TPU compile
-# helper crashes compiling >=1M-pair programs (verified 786432 ok, 1048576
-# and 2097152 both HTTP-500), and past-cap overflows take the batch-split
-# path instead (collect -> _collect_split)
-P_BUCKETS = (2048, 8192, 32768, 131072, 262144, 393216, 524288, 786432)
+# candidate-pair budget; capped at 1.5M pairs (the round-2 compile-helper
+# crashes at >=1M pairs no longer reproduce with the banded stage A —
+# P=1572864 verified compiling on hardware); past-cap overflows take the
+# batch-split path instead (collect -> _collect_split)
+P_BUCKETS = (
+    2048, 8192, 32768, 131072, 262144, 393216, 524288, 786432, 1048576,
+    1572864,
+)
 P2_BUCKETS = (2048, 16384, 32768, 49152, 65536, 98304, 131072, 262144)  # surviving-pair budget
 WINDOW_BUCKETS = (3, 12)  # DL exactness windows (12 = reference MAX_EDIT_DISTANCE)
 DL_CHUNK = 16384
@@ -809,14 +812,15 @@ class DevicePipeline:
         Ni_pad = max(unit, -(-self.Ni // unit) * unit)
         self.Ni_pad = Ni_pad
         self.M_total = Ni_pad // ROW_BLOCK
-        # Largest batch bucket this lexicon supports: the remote TPU compile
-        # helper crashes on fused programs whose stage-A bit-mask exceeds
-        # ~1.2G cells (B x band rows). With charcount banding the mask covers
-        # only each tile's band; size assuming bands stay <= 512 blocks
-        # (oversized bands trigger a proactive batch split instead).
+        # Largest batch bucket this lexicon supports: fused programs above
+        # ~2.2G stage-A mask cells (B x band rows) are impractical to compile
+        # on the remote helper (B=2048 x 1M rows = 2.05G verified OK in
+        # ~100 s; 4.1G took >3 min). Sized pessimistically with the FULL
+        # (padded) row count so a worst-case full-band batch never needs the
+        # split path.
         self.max_B = B_BUCKETS[0]
         for b in B_BUCKETS:
-            if b * min(self.M_total, 512) * ROW_BLOCK <= 1_288_490_188:
+            if b * self.M_total * ROW_BLOCK <= 2_200_000_000:
                 self.max_B = b
         # band-width buckets (in ROW_BLOCK blocks): few enough that typical
         # workloads compile one fused variant
@@ -1165,7 +1169,7 @@ class DevicePipeline:
     def _band_over_ceiling(self, B: int, nb_band: int) -> bool:
         from .stage_a import ROW_BLOCK
 
-        return B * nb_band * ROW_BLOCK > 1_288_490_188
+        return B * nb_band * ROW_BLOCK > 2_200_000_000
 
     def _band_plan(self, q_cc: np.ndarray, k_ana: np.ndarray, B: int):
         """Exact per-tile charcount band plan for a (padded) query batch.
@@ -1307,7 +1311,17 @@ class DevicePipeline:
         )
         expandable_all = self._has_variants[oc_safe]
 
-        fast_ok = not model.confusables and getattr(model, "fast_tail", True)
+        # late confusables (the default mode) stay on the fast path: rank
+        # vectorized first, then rescore only the cropped survivors per query
+        # via the native batch matcher and re-rank (the reference applies
+        # confusables to survivors too, lib.rs:1592-1595). Early confusables
+        # rescore BEFORE the crop, so they keep the exact object path.
+        late_conf = (
+            bool(model.confusables) and not model.confusables_before_pruning
+        )
+        fast_ok = (not model.confusables or late_conf) and getattr(
+            model, "fast_tail", True
+        )
         nrows = len(active)
         # the device max runs over ALL scored instances (incl. below the score
         # threshold, which never reach the host) — it IS the reference's
@@ -1334,6 +1348,7 @@ class DevicePipeline:
                 nrows,
                 floors[:nrows],
                 params,
+                stop_before_cutoff=late_conf,
             )
         else:
             elig_row = np.zeros(B, dtype=bool)
@@ -1342,7 +1357,12 @@ class DevicePipeline:
             lo, hi = int(bounds[row]), int(bounds[row + 1])
             max_freq_floor = float(floors[row])
             if elig_row[row]:
-                results[i] = batch_res[row]
+                if late_conf:
+                    results[i] = model.late_rescore_and_cutoff(
+                        batch_res[row], inputs[i], params
+                    )
+                else:
+                    results[i] = batch_res[row]
             else:
                 instances: List[Tuple[int, Distance]] = [
                     (

@@ -38,8 +38,15 @@ def rank_fast_batch(
     nseg: int,
     max_freq_floors: np.ndarray,  # [nseg]
     params: SearchParameters,
+    stop_before_cutoff: bool = False,
 ) -> List[List[VariantResult]]:
-    """Returns one result list per segment (query slot)."""
+    """Returns one result list per segment (query slot).
+
+    ``stop_before_cutoff=True`` returns the tie-aware-cropped lists WITHOUT
+    applying the relative cutoff threshold — the late-confusables fast path
+    (pipeline.collect) rescores the cropped survivors first, then re-ranks
+    and applies the cutoff per query (score_and_rank order,
+    lib.rs:1592-1622)."""
     out: List[List[VariantResult]] = [[] for _ in range(nseg)]
     if len(o_c) == 0:
         return out
@@ -130,7 +137,7 @@ def rank_fast_batch(
                     # else: keep all
 
     # ---- cutoff threshold (lib.rs:1597-1622) ----
-    if params.cutoff_threshold >= 1.0:
+    if params.cutoff_threshold >= 1.0 and not stop_before_cutoff:
         best = np.zeros(nseg)
         best[nonempty] = s[starts[nonempty]]
         below = (

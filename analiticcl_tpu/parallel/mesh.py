@@ -91,10 +91,8 @@ class ShardedPipeline(DevicePipeline):
         self.max_B = pl.B_BUCKETS[0]
         for b in pl.B_BUCKETS:
             if (
-                max(1, b // self.n_dp)
-                * min(self.M_shard, 512)
-                * ROW_BLOCK
-                <= 1_288_490_188
+                max(1, b // self.n_dp) * self.M_shard * ROW_BLOCK
+                <= 2_200_000_000
             ):
                 self.max_B = b
         cand = (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
@@ -335,7 +333,7 @@ class ShardedPipeline(DevicePipeline):
         from ..ops.stage_a import ROW_BLOCK
 
         return (
-            max(1, B // self.n_dp) * nb_band * ROW_BLOCK > 1_288_490_188
+            max(1, B // self.n_dp) * nb_band * ROW_BLOCK > 2_200_000_000
         )
 
     def _submit_fused(

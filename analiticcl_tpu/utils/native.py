@@ -97,6 +97,34 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.ananorm_normalize_se8.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.ananorm_counts_batch8.argtypes = [
+            ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.ananorm_anavalue_batch8.argtypes = [
+            ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         lib.ananorm_counts_batch.argtypes = [
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
@@ -206,7 +234,7 @@ class NativeMatcher:
         take the exact per-text offsets path.
         """
         n = len(texts)
-        norms = np.zeros((n, max_len), dtype=np.int32)
+        norms = np.zeros((n, max_len), dtype=self._norm_dtype())
         lens = np.zeros(n, dtype=np.int32)
         if n == 0:
             return norms, lens
@@ -247,10 +275,15 @@ class NativeMatcher:
         starts = np.concatenate(([0], nl + 1))
         ends = np.concatenate((nl, [len(blob)]))
         pad = max(int((ends - starts).max()), 1)
-        norms = np.zeros((n, pad), dtype=np.int32)
+        norms = np.zeros((n, pad), dtype=self._norm_dtype())
         lens = np.zeros(n, dtype=np.int32)
         self.normalize_se(blob, starts, ends, norms, lens)
         return norms, lens
+
+    def _norm_dtype(self):
+        """int8 whenever every class index incl. UNK (n_classes + 1) fits —
+        million-entry ingestion then keeps 4x fewer bytes end-to-end."""
+        return np.int8 if self.n_classes + 1 <= 126 else np.int32
 
     def normalize_se(
         self,
@@ -261,8 +294,15 @@ class NativeMatcher:
         lens: np.ndarray,
     ) -> None:
         """Normalize byte ranges [starts[i], ends[i]) of ``blob`` in place
-        into preallocated ``norms`` [n, max_len] int32 / ``lens`` [n] int32."""
-        self._lib.ananorm_normalize_se(
+        into preallocated ``norms`` [n, max_len] int8/int32 / ``lens`` [n]
+        int32."""
+        if norms.dtype == np.int8:
+            fn = self._lib.ananorm_normalize_se8
+            out_ptr = norms.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+        else:
+            fn = self._lib.ananorm_normalize_se
+            out_ptr = norms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        fn(
             self._handle,
             blob,
             np.ascontiguousarray(starts, dtype=np.int64).ctypes.data_as(
@@ -273,7 +313,7 @@ class NativeMatcher:
             ),
             norms.shape[0],
             norms.shape[1],
-            norms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_ptr,
             lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         )
 
@@ -281,15 +321,25 @@ class NativeMatcher:
 def counts_batch(
     norms: np.ndarray, lens: np.ndarray, n_slots: int
 ) -> Optional[np.ndarray]:
-    """Count vectors [n, n_slots] uint8 from padded norms; None if no native."""
+    """Count vectors [n, n_slots] uint8 from padded norms; None if no native.
+
+    Accepts int8 or int32 norm matrices (the int8 layout is what ingestion
+    produces for small alphabets)."""
     lib = _load()
     if lib is None:
         return None
-    norms = np.ascontiguousarray(norms, dtype=np.int32)
+    if norms.dtype == np.int8:
+        norms = np.ascontiguousarray(norms)
+        fn = lib.ananorm_counts_batch8
+        ptr = norms.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+    else:
+        norms = np.ascontiguousarray(norms, dtype=np.int32)
+        fn = lib.ananorm_counts_batch
+        ptr = norms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
     lens = np.ascontiguousarray(lens, dtype=np.int32)
     out = np.zeros((norms.shape[0], n_slots), dtype=np.uint8)
-    lib.ananorm_counts_batch(
-        norms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    fn(
+        ptr,
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         norms.shape[0],
         norms.shape[1],
@@ -305,16 +355,25 @@ def anavalue_bytes_batch(
     primes: Sequence[int],
     unk_norm_index: int,
 ) -> Optional[np.ndarray]:
-    """64-byte big-endian prime products per row; None if native unavailable."""
+    """64-byte big-endian prime products per row; None if native unavailable.
+
+    Accepts int8 or int32 norm matrices."""
     lib = _load()
     if lib is None:
         return None
-    norms = np.ascontiguousarray(norms, dtype=np.int32)
+    if norms.dtype == np.int8:
+        norms = np.ascontiguousarray(norms)
+        fn = lib.ananorm_anavalue_batch8
+        ptr = norms.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+    else:
+        norms = np.ascontiguousarray(norms, dtype=np.int32)
+        fn = lib.ananorm_anavalue_batch
+        ptr = norms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
     lens = np.ascontiguousarray(lens, dtype=np.int32)
     primes_arr = np.asarray(primes, dtype=np.uint32)
     out = np.zeros((norms.shape[0], 64), dtype=np.uint8)
-    lib.ananorm_anavalue_batch(
-        norms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    fn(
+        ptr,
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         norms.shape[0],
         norms.shape[1],

@@ -72,10 +72,12 @@ def main():
     words = [model.decoder[i].text for i in range(3, len(model.decoder), 7)]
     queries = [corrupt(w, rng) for w in words[:16384]]
 
-    # exactness sanity: device results vs the exact host oracle on a sample —
-    # full result tuples (text, dist_score, freq_score, via) in order, not
-    # just the variant-text set
-    sample = queries[:: len(queries) // 200][:200]
+    # exactness gate: device results vs the exact host oracle on 4096
+    # queries — full result tuples (text, dist_score, freq_score, via) in
+    # order, not just the variant-text set. Oracle results are computed once
+    # and cached to disk keyed by (lexicon identity, params, query sample),
+    # so the wide gate costs seconds after the first run.
+    sample = queries[:4096]
 
     def tuples(res):
         return [
@@ -83,20 +85,112 @@ def main():
             for r in res
         ]
 
-    model.set_backend("oracle")
-    oracle_res = [tuples(model.find_variants(q, params)) for q in sample]
+    import hashlib
+    import os
+    import pickle
+
+    lex_stat = os.stat(LEXICON)
+    key = hashlib.sha256(
+        repr(
+            (
+                LEXICON, lex_stat.st_size, lex_stat.st_mtime, ALPHABET,
+                params, sample,
+            )
+        ).encode()
+    ).hexdigest()[:16]
+    cache_path = os.path.expanduser(f"~/.cache/analiticcl_oracle_{key}.pkl")
+    oracle_res = None
+    try:
+        with open(cache_path, "rb") as f:
+            oracle_res = pickle.load(f)
+        log(f"oracle gate: loaded {len(oracle_res)} cached results")
+    except (OSError, pickle.PickleError, EOFError):
+        pass
+    if oracle_res is None or len(oracle_res) != len(sample):
+        t0 = time.time()
+        model.set_backend("oracle")
+        oracle_res = [tuples(model.find_variants(q, params)) for q in sample]
+        model.set_backend("device")
+        log(f"oracle gate: computed {len(sample)} results in {time.time()-t0:.0f}s")
+        try:
+            os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+            with open(cache_path, "wb") as f:
+                pickle.dump(oracle_res, f)
+        except OSError:
+            pass
     model.set_backend("device")
-    device_res = [tuples(res) for res in model.find_variants_batch(sample, params)]
+    device_res = [
+        tuples(res) for res in model.find_variants_stream(sample, params)
+    ]
     hit = sum(1 for o, d in zip(oracle_res, device_res) if o == d)
     log(
-        f"exactness sanity: {hit}/{len(sample)} sampled queries bit-identical "
+        f"exactness gate: {hit}/{len(sample)} queries bit-identical "
         "to oracle (scores, order, provenance)"
     )
     if hit < len(sample):
+        shown = 0
         for q, o, d in zip(sample, oracle_res, device_res):
             if o != d:
                 log(f"  MISMATCH {q!r}: oracle={o[:3]} device={d[:3]}")
+                shown += 1
+                if shown >= 10:
+                    break
         raise SystemExit("device/oracle mismatch — benchmark aborted")
+
+    # window-12 exactness gate: ratio thresholds push per-query edit
+    # distances past 3, compiling the production W=12 DL bucket (banded ring
+    # depth 15, margin clears, the d+s<=W+1 transposition prune) — this runs
+    # it ON HARDWARE against the oracle, where CI's interpret-mode coverage
+    # stops at W=5 (tests/test_pallas.py)
+    params12 = SearchParameters(
+        max_anagram_distance=DistanceThreshold.ratio_with_limit(0.5, 6),
+        max_edit_distance=DistanceThreshold.ratio_with_limit(0.5, 12),
+        max_matches=10,
+        score_threshold=0.25,
+    )
+    long_words = [w for w in words if len(w) >= 9][:512]
+    sample12 = [corrupt(corrupt(w, rng), rng) for w in long_words]
+    key12 = hashlib.sha256(
+        repr(
+            (
+                LEXICON, lex_stat.st_size, lex_stat.st_mtime, ALPHABET,
+                params12, sample12, "w12",
+            )
+        ).encode()
+    ).hexdigest()[:16]
+    cache12 = os.path.expanduser(f"~/.cache/analiticcl_oracle_{key12}.pkl")
+    oracle12 = None
+    try:
+        with open(cache12, "rb") as f:
+            oracle12 = pickle.load(f)
+    except (OSError, pickle.PickleError, EOFError):
+        pass
+    if oracle12 is None or len(oracle12) != len(sample12):
+        t0 = time.time()
+        model.set_backend("oracle")
+        oracle12 = [tuples(model.find_variants(q, params12)) for q in sample12]
+        model.set_backend("device")
+        log(f"W12 oracle: computed {len(sample12)} in {time.time()-t0:.0f}s")
+        try:
+            with open(cache12, "wb") as f:
+                pickle.dump(oracle12, f)
+        except OSError:
+            pass
+    model.set_backend("device")
+    device12 = [
+        tuples(res) for res in model.find_variants_stream(sample12, params12)
+    ]
+    hit12 = sum(1 for o, d in zip(oracle12, device12) if o == d)
+    log(
+        f"W12 gate: {hit12}/{len(sample12)} ratio-threshold queries "
+        "bit-identical to oracle (window-12 DL bucket)"
+    )
+    if hit12 < len(sample12):
+        for q, o, d in zip(sample12, oracle12, device12):
+            if o != d:
+                log(f"  W12 MISMATCH {q!r}: oracle={o[:3]} device={d[:3]}")
+                break
+        raise SystemExit("W12 device/oracle mismatch — benchmark aborted")
 
     # freeze the model heap: gen-2 GC rescans of the 120k-entry decoder cost
     # ~180 ms every ~5 batches otherwise (the round-2 bimodal stall)

@@ -40,8 +40,12 @@ def main():
     model = VariantModel(
         alphabet_file="/root/reference/examples/simple.alphabet.tsv"
     )
+    import os as _os0
     model.read_vocabulary(
-        "/root/reference/examples/eng.aspell.lexicon", VocabParams()
+        _os0.environ.get(
+            "PROF_LEX", "/root/reference/examples/eng.aspell.lexicon"
+        ),
+        VocabParams(),
     )
     model.build()
     model.set_backend("device")
