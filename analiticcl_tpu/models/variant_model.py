@@ -1462,12 +1462,12 @@ class VariantModel:
     ):
         """Pipelined :meth:`find_all_matches` over an iterable of texts.
 
-        Keeps up to ``depth`` texts' combined segment lookups in flight on
-        the device while the host consolidates earlier texts (lattice DP +
-        LM scoring) — the search-mode analogue of
-        :meth:`find_variants_stream`. Yields one ``List[Match]`` per text,
-        in order. The CLI search driver feeds its ~100-line groups through
-        this, hiding most of the device round trip behind consolidation."""
+        Texts are AGGREGATED until their combined unique-segment count fills
+        a large device batch (several CLI 100-line groups per fused call —
+        segment lookups then run at the same batch efficiency as plain query
+        mode), and up to ``depth`` such units stay in flight on the device
+        while the host consolidates earlier texts (lattice DP + LM scoring).
+        Yields one ``List[Match]`` per text, in order."""
         backend = self._backend
         if backend == "auto":
             backend = (
@@ -1482,29 +1482,46 @@ class VariantModel:
 
             self._device = get_device_pipeline(self)
         pipe = self._device
-        pending = []
+        # target one large batch bucket per unit; the token-based estimate
+        # (~1.45 unique segments per token at max_ngram 2, measured on
+        # running text after dedup) only controls aggregation, never
+        # correctness — underestimates simply land in a larger batch bucket
+        target = min(4096, pipe.max_B)
+        est_factor = {1: 1.0, 2: 1.45}.get(min(params.max_ngram, 3), 2.2)
+        pending = []  # submitted units
+        buf: List[str] = []  # texts accumulated for the next unit
+        buf_est = 0
+
+        def submit_unit(unit_texts):
+            preps, uniq, all_texts = self._fam_prepare(unit_texts, params)
+            if all_texts and len(all_texts) <= pipe.max_B:
+                return (len(unit_texts), preps, uniq,
+                        pipe.submit(all_texts, params), None)
+            fb = (
+                self.find_variants_batch(all_texts, params)
+                if all_texts
+                else []
+            )
+            return (len(unit_texts), preps, uniq, None, fb)
 
         def flush_one():
-            preps, uniq, st, fb = pending.pop(0)
+            _n, preps, uniq, st, fb = pending.pop(0)
             found = pipe.collect(st) if st is not None else fb
-            return self._fam_consolidate(preps, uniq, found, params)[0]
+            return self._fam_consolidate(preps, uniq, found, params)
 
         for text in texts:
-            preps, uniq, all_texts = self._fam_prepare([text], params)
-            if all_texts and len(all_texts) <= pipe.max_B:
-                item = (preps, uniq, pipe.submit(all_texts, params), None)
-            else:
-                fb = (
-                    self.find_variants_batch(all_texts, params)
-                    if all_texts
-                    else []
-                )
-                item = (preps, uniq, None, fb)
-            pending.append(item)
-            if len(pending) > depth:
-                yield flush_one()
+            est = len(text.split()) * est_factor
+            if buf and buf_est + est > target:
+                pending.append(submit_unit(buf))
+                buf, buf_est = [], 0
+                if len(pending) > depth:
+                    yield from flush_one()
+            buf.append(text)
+            buf_est += est
+        if buf:
+            pending.append(submit_unit(buf))
         while pending:
-            yield flush_one()
+            yield from flush_one()
 
     def _fam_prepare(self, texts: Sequence[str], params: SearchParameters):
         """find_all_matches phase 1: segmentation + segment collection
