@@ -1067,6 +1067,12 @@ class VariantModel:
         if self.confusables and not self.confusables_before_pruning:
             self.rescore_confusables(results, input_text)
             rank_results(results, params.freq_weight)
+        return self.cutoff_tail(results, params)
+
+    def cutoff_tail(
+        self, results: List[VariantResult], params: SearchParameters
+    ) -> List[VariantResult]:
+        """The relative cutoff-threshold prune (lib.rs:1597-1622)."""
         cutoff = 0
         bestscore: Optional[float] = None
         if params.cutoff_threshold >= 1.0:

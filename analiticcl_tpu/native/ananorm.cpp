@@ -450,6 +450,10 @@ namespace {
 struct ConfInstr {
     char op;
     std::vector<std::string> options;
+    // per-option byte masks (bit = byte & 63) for the cheap necessary-
+    // condition prefilter: an option can only occur in a text whose mask
+    // covers it
+    std::vector<uint64_t> opt_masks;
 };
 
 struct Conf {
@@ -461,6 +465,32 @@ struct Conf {
 struct ConfSet {
     std::vector<Conf> confusables;
 };
+
+static inline uint64_t byte_mask(const char* s, int64_t n) {
+    uint64_t m = 0;
+    for (int64_t i = 0; i < n; i++)
+        m |= 1ull << (((unsigned char)s[i]) & 63);
+    return m;
+}
+
+// Necessary condition for confusable c to match ANY edit script a -> b:
+// every instruction must have at least one option whose bytes all occur in
+// the relevant side ('-' from a, '+' from b, '=' from both). False means
+// the weight is certainly 1, so the edit script need not be computed.
+static bool conf_possible(const Conf& c, uint64_t am, uint64_t bm) {
+    for (const auto& ins : c.instr) {
+        uint64_t need_in;
+        if (ins.op == '-') need_in = am;
+        else if (ins.op == '+') need_in = bm;
+        else need_in = am & bm;
+        bool ok = false;
+        for (uint64_t om : ins.opt_masks) {
+            if ((om & ~need_in) == 0) { ok = true; break; }
+        }
+        if (!ok) return false;
+    }
+    return true;
+}
 
 struct Run {
     char op;
@@ -571,6 +601,7 @@ void* ananorm_confusables_build(const char* blob, int64_t n) {
             for (uint32_t o = 0; o < no; o++) {
                 uint32_t len = rd_u32();
                 ins.options.emplace_back((const char*)p, len);
+                ins.opt_masks.push_back(byte_mask((const char*)p, len));
                 p += len;
             }
             conf.instr.push_back(std::move(ins));
@@ -592,8 +623,17 @@ int64_t ananorm_confusable_weights(void* handle, const char* a, int64_t an,
     ConfSet* set = (ConfSet*)handle;
     std::vector<char> buf;
     std::vector<Run> runs;
+    uint64_t am = byte_mask(a, an);
     for (int32_t k = 0; k < n_b; k++) {
         int64_t bn = bo[k + 1] - bo[k];
+        uint64_t bm = byte_mask(bs + bo[k], bn);
+        bool any = false;
+        for (const auto& c : set->confusables)
+            if (conf_possible(c, am, bm)) { any = true; break; }
+        if (!any) {  // no confusable can match: weight certainly 1
+            out_weights[k] = 1.0;
+            continue;
+        }
         int64_t cap = 2 * (an + bn) + 64;
         if ((int64_t)buf.size() < cap) buf.resize(cap);
         int64_t r = ananorm_edit_script(a, an, bs + bo[k], bn, buf.data(),
@@ -602,7 +642,54 @@ int64_t ananorm_confusable_weights(void* handle, const char* a, int64_t an,
         decode_runs(buf.data(), r, runs);
         double w = 1.0;
         for (const auto& c : set->confusables)
-            if (found_in(c, runs)) w *= c.weight;
+            if (conf_possible(c, am, bm) && found_in(c, runs)) w *= c.weight;
+        out_weights[k] = w;
+    }
+    return 0;
+}
+
+// Many (input, candidate) pairs in ONE call: pair k matches input
+// a_idx[k] (byte range a_off[i]..a_off[i+1] of as_blob) against candidate k
+// (b_off[k]..b_off[k+1] of bs_blob). The device pipeline's late-confusables
+// fast path rescopes a whole batch's cropped survivors with a single
+// library crossing instead of one per query.
+int64_t ananorm_confusable_weights_multi(void* handle, const char* as_blob,
+                                         const int64_t* a_off,
+                                         const int32_t* a_idx,
+                                         const char* bs_blob,
+                                         const int64_t* b_off, int32_t n_b,
+                                         double* out_weights) {
+    ConfSet* set = (ConfSet*)handle;
+    std::vector<char> buf;
+    std::vector<Run> runs;
+    int32_t last_a = -1;
+    uint64_t am = 0;
+    for (int32_t k = 0; k < n_b; k++) {
+        int32_t i = a_idx[k];
+        const char* a = as_blob + a_off[i];
+        int64_t an = a_off[i + 1] - a_off[i];
+        if (i != last_a) {  // inputs arrive grouped per query
+            am = byte_mask(a, an);
+            last_a = i;
+        }
+        int64_t bn = b_off[k + 1] - b_off[k];
+        uint64_t bm = byte_mask(bs_blob + b_off[k], bn);
+        bool any = false;
+        for (const auto& c : set->confusables)
+            if (conf_possible(c, am, bm)) { any = true; break; }
+        if (!any) {
+            out_weights[k] = 1.0;
+            continue;
+        }
+        int64_t cap = 2 * (an + bn) + 64;
+        if ((int64_t)buf.size() < cap) buf.resize(cap);
+        int64_t r = ananorm_edit_script(a, an, bs_blob + b_off[k], bn,
+                                        buf.data(), (int64_t)buf.size());
+        if (r < 0) return -1;
+        decode_runs(buf.data(), r, runs);
+        double w = 1.0;
+        for (const auto& c : set->confusables)
+            if (conf_possible(c, am, bm) && found_in(c, runs)) w *= c.weight;
         out_weights[k] = w;
     }
     return 0;

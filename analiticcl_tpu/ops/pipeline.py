@@ -1353,11 +1353,50 @@ class DevicePipeline:
         else:
             elig_row = np.zeros(B, dtype=bool)
             batch_res = None
+        # batched late-confusables: ONE native library crossing rescopes the
+        # whole batch's cropped survivors (per-query calls cost ~0.5 ms of
+        # ctypes/edit-script overhead each); per-query work shrinks to the
+        # tiny re-rank + cutoff over <= max_matches survivors
+        late_conf_batched = False
+        if late_conf and batch_res is not None:
+            nc = model._native_confusables()
+            if nc is not None:
+                from ..types import rank_results
+
+                row_ids = [row for row in range(nrows) if elig_row[row]]
+                inputs_list = [inputs[active[row]] for row in row_ids]
+                texts: List[str] = []
+                input_of: List[int] = []
+                decoder = model.decoder
+                for ri, row in enumerate(row_ids):
+                    for r in batch_res[row]:
+                        texts.append(decoder[r.vocab_id].text)
+                        input_of.append(ri)
+                if texts:
+                    try:
+                        ws = nc.weights_pairs(
+                            inputs_list, texts,
+                            np.asarray(input_of, dtype=np.int32),
+                        )
+                    except Exception:
+                        ws = None
+                    if ws is not None:
+                        pos = 0
+                        for row in row_ids:
+                            res = batch_res[row]
+                            for r in res:
+                                r.dist_score *= float(ws[pos])
+                                pos += 1
+                            rank_results(res, params.freq_weight)
+                            batch_res[row] = model.cutoff_tail(res, params)
+                        late_conf_batched = True
+                else:
+                    late_conf_batched = True
         for row, i in enumerate(active):
             lo, hi = int(bounds[row]), int(bounds[row + 1])
             max_freq_floor = float(floors[row])
             if elig_row[row]:
-                if late_conf:
+                if late_conf and not late_conf_batched:
                     results[i] = model.late_rescore_and_cutoff(
                         batch_res[row], inputs[i], params
                     )

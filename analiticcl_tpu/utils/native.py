@@ -179,6 +179,17 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_double),
         ]
+        lib.ananorm_confusable_weights_multi.restype = ctypes.c_int64
+        lib.ananorm_confusable_weights_multi.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double),
+        ]
         _lib = lib
         return _lib
 
@@ -537,6 +548,48 @@ class NativeConfusables:
             blob,
             offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             len(bs),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        if r < 0:
+            raise RuntimeError("confusable weight computation failed")
+        return out
+
+    def weights_pairs(
+        self,
+        inputs: "Sequence[str]",
+        texts: "Sequence[str]",
+        input_of_text: "np.ndarray",
+    ) -> "np.ndarray":
+        """Weights for many (input, candidate) pairs in ONE call: pair k is
+        inputs[input_of_text[k]] -> texts[k]."""
+        enc_a = [a.encode("utf-8") for a in inputs]
+        a_blob = b"".join(enc_a)
+        a_off = np.zeros(len(enc_a) + 1, dtype=np.int64)
+        np.cumsum(
+            np.fromiter(
+                (len(e) for e in enc_a), dtype=np.int64, count=len(enc_a)
+            ),
+            out=a_off[1:],
+        )
+        enc_b = [b.encode("utf-8") for b in texts]
+        b_blob = b"".join(enc_b)
+        b_off = np.zeros(len(enc_b) + 1, dtype=np.int64)
+        np.cumsum(
+            np.fromiter(
+                (len(e) for e in enc_b), dtype=np.int64, count=len(enc_b)
+            ),
+            out=b_off[1:],
+        )
+        a_idx = np.ascontiguousarray(input_of_text, dtype=np.int32)
+        out = np.ones(len(texts), dtype=np.float64)
+        r = self._lib.ananorm_confusable_weights_multi(
+            self._handle,
+            a_blob,
+            a_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            a_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            b_blob,
+            b_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(texts),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         )
         if r < 0:

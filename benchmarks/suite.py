@@ -243,9 +243,9 @@ def confusables_errors():
     model.set_backend("device")
     rng = random.Random(7)
     words = [model.decoder[i].text for i in range(3, len(model.decoder), 19)]
-    queries = [corrupt(w, rng) for w in words[:4096]] + [
+    queries = ([corrupt(w, rng) for w in words[:4096]] + [
         "thier", "recieve", "seperate"
-    ]
+    ]) * 4  # multiple stream batches so pipeline fill amortizes
     params = SearchParameters(
         max_anagram_distance=DistanceThreshold.absolute(3),
         max_edit_distance=DistanceThreshold.absolute(2),
