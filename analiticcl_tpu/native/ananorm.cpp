@@ -10,6 +10,7 @@
 // if a later element would match longer); unknown input advances one UTF-8
 // codepoint and records the UNK class.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -693,6 +694,212 @@ int64_t ananorm_confusable_weights_multi(void* handle, const char* as_blob,
         out_weights[k] = w;
     }
     return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Whole-batch ranking tail (score + sort + tie-aware crop + cutoff).
+//
+// Bit-equal port of ops/rank_batch.py::rank_fast_batch plus the scoring /
+// canonical-reorder prologue of DevicePipeline.collect (ops/pipeline.py):
+// all float work is IEEE double in the exact same operation order as the
+// numpy expressions, so results are bit-identical to the Python tail (which
+// is itself pinned against the scalar oracle; reference semantics
+// lib.rs:1405-1653). The numpy path remains as fallback and test oracle.
+//
+// Inputs are the raw device-transfer arrays (device-row candidates, uint8
+// metrics, seg non-decreasing). The function:
+//   1. maps device rows -> canonical rows and sorts each segment's pairs by
+//      canonical row (stable), mirroring np.lexsort((o_c, o_q));
+//   2. scores each pair in f64 (same expression order as collect());
+//   3. ranks each ELIGIBLE segment (no expandable pairs) exactly like
+//      rank_fast_batch (threshold, freq normalization with device floors,
+//      blended sort, tie-aware crop incl. the early_cutoff quirk, relative
+//      cutoff threshold unless stop_before_cutoff);
+//   4. reports ineligible segments (expandable pairs present) via out_elig
+//      plus the sorted permutation/bounds so the host can run its exact
+//      object path on just those rows.
+// Returns the survivor count, or -1 on argument errors.
+extern "C" int64_t ananorm_rank_tail(
+    int32_t n_pairs, int32_t nseg,
+    const int32_t* o_q, const int32_t* o_c_dev,
+    const uint8_t* o_ld, const uint8_t* o_lcs, const uint8_t* o_pf,
+    const uint8_t* o_sf, const uint8_t* o_case,
+    const int64_t* canon_of, int32_t ni_pad,
+    const int32_t* q_lens,
+    const double* freq_tab, const uint8_t* has_var,
+    const int64_t* vocab_ids_tab, int32_t index_size,
+    const uint32_t* floors_u32,
+    double w_ld, double w_lcs, double w_prefix, double w_suffix,
+    double w_case, double w_sum,
+    double score_threshold, double cutoff_threshold, double freq_weight,
+    int32_t max_matches, int32_t have_freq, int32_t stop_before_cutoff,
+    int32_t* out_seg, int64_t* out_vid, double* out_ds, double* out_fq,
+    uint8_t* out_elig, int32_t* out_perm, int32_t* out_bounds) {
+    if (n_pairs < 0 || nseg <= 0 || index_size <= 0) return -1;
+
+    // --- segment bounds over the o_q column ---
+    // (o_q need NOT be grouped: the sharded pipeline concatenates per-shard
+    // segments, so the same segment id recurs; a stable counting-sort
+    // scatter groups pairs exactly like np.lexsort((o_c, o_q)) would)
+    for (int32_t s = 0; s <= nseg; s++) out_bounds[s] = 0;
+    for (int32_t p = 0; p < n_pairs; p++) {
+        int32_t s = o_q[p];
+        if (s < 0 || s >= nseg) return -1;
+        out_bounds[s + 1]++;
+    }
+    for (int32_t s = 0; s < nseg; s++) out_bounds[s + 1] += out_bounds[s];
+
+    // --- canonical rows + per-segment stable sort by canonical row ---
+    std::vector<int64_t> canon((size_t)n_pairs);
+    for (int32_t p = 0; p < n_pairs; p++) {
+        int32_t d = o_c_dev[p];
+        if (d > ni_pad - 1) d = ni_pad - 1;
+        if (d < 0) d = 0;
+        canon[p] = canon_of[d];
+    }
+    {
+        std::vector<int32_t> cur(out_bounds, out_bounds + nseg);
+        for (int32_t p = 0; p < n_pairs; p++) out_perm[cur[o_q[p]]++] = p;
+    }
+    for (int32_t s = 0; s < nseg; s++) {
+        int32_t lo = out_bounds[s], hi = out_bounds[s + 1];
+        if (hi - lo > 1)
+            std::stable_sort(out_perm + lo, out_perm + hi,
+                             [&](int32_t a, int32_t b) {
+                                 return canon[a] < canon[b];
+                             });
+    }
+
+    // --- f64 scoring, same expression order as collect() ---
+    std::vector<double> score((size_t)n_pairs), pfreq((size_t)n_pairs);
+    std::vector<int64_t> ccan((size_t)n_pairs);
+    std::vector<uint8_t> elig((size_t)nseg, 1);
+    for (int32_t s = 0; s < nseg; s++) {
+        for (int32_t r = out_bounds[s]; r < out_bounds[s + 1]; r++) {
+            int32_t p = out_perm[r];
+            int64_t c = canon[p];
+            int64_t c_safe = c < (int64_t)index_size ? c : index_size - 1;
+            if (c_safe < 0) c_safe = 0;
+            ccan[r] = c_safe;
+            double qlen = (double)q_lens[s];
+            if (qlen < 1.0) qlen = 1.0;
+            double ld = (double)o_ld[p];
+            double ds = ld > qlen ? 0.0 : 1.0 - ld / qlen;
+            double sc = (w_ld * ds + (w_lcs * (double)o_lcs[p]) / qlen +
+                         (w_prefix * (double)o_pf[p]) / qlen +
+                         (w_suffix * (double)o_sf[p]) / qlen +
+                         (o_case[p] ? w_case : 0.0)) /
+                        w_sum;
+            score[r] = sc;
+            pfreq[r] = freq_tab ? freq_tab[c_safe] : 1.0;
+            if (has_var && has_var[c_safe]) elig[s] = 0;
+        }
+    }
+
+    // --- per-segment rank (rank_fast_batch semantics) ---
+    int64_t out_n = 0;
+    std::vector<int32_t> kept;
+    std::vector<int32_t> ord;
+    for (int32_t s = 0; s < nseg; s++) {
+        out_elig[s] = elig[s];
+        if (!elig[s]) continue;
+        int32_t lo = out_bounds[s], hi = out_bounds[s + 1];
+        kept.clear();
+        for (int32_t r = lo; r < hi; r++)
+            if (score[r] >= score_threshold) kept.push_back(r);
+        if (kept.empty()) continue;
+        // frequency normalization (max over above-threshold + device floor)
+        double floor_f = (double)floors_u32[s];
+        double max_freq;
+        if (have_freq) {
+            double seg_max = 0.0;
+            for (int32_t r : kept)
+                if (pfreq[r] > seg_max) seg_max = pfreq[r];
+            max_freq = seg_max > floor_f ? seg_max : floor_f;
+        } else {
+            max_freq = 1.0 > floor_f ? 1.0 : floor_f;
+        }
+        double denom = max_freq > 0.0 ? max_freq : 1.0;
+        int32_t n = (int32_t)kept.size();
+        ord.resize(n);
+        for (int32_t i = 0; i < n; i++) ord[i] = i;
+        // freqn / blended per kept pair (freqn = freq / denom, f64)
+        std::vector<double> freqn(n), s_key(n), dsv(n);
+        for (int32_t i = 0; i < n; i++) {
+            freqn[i] = pfreq[kept[i]] / denom;
+            dsv[i] = score[kept[i]];
+        }
+        double fw = freq_weight;
+        if (fw > 0.0) {
+            for (int32_t i = 0; i < n; i++)
+                s_key[i] = (dsv[i] + fw * freqn[i]) / (1.0 + fw);
+            std::stable_sort(ord.begin(), ord.end(),
+                             [&](int32_t a, int32_t b) {
+                                 return s_key[a] > s_key[b];
+                             });
+        } else {
+            for (int32_t i = 0; i < n; i++) s_key[i] = dsv[i];
+            std::stable_sort(
+                ord.begin(), ord.end(), [&](int32_t a, int32_t b) {
+                    if (dsv[a] != dsv[b]) return dsv[a] > dsv[b];
+                    return freqn[a] > freqn[b];
+                });
+        }
+        // sorted views
+        std::vector<double> ss(n), dd(n), ff(n);
+        std::vector<int32_t> rr(n);
+        for (int32_t i = 0; i < n; i++) {
+            ss[i] = s_key[ord[i]];
+            dd[i] = dsv[ord[i]];
+            ff[i] = freqn[ord[i]];
+            rr[i] = kept[ord[i]];
+        }
+        // tie-aware crop at max_matches (rank_batch.py:93-137)
+        int64_t end = n;
+        int32_t mm = max_matches;
+        if (mm > 0 && n > mm) {
+            double last_sc = ss[mm - 1];
+            double cropped_sc = ss[mm];
+            if (cropped_sc < last_sc) {
+                end = mm;
+            } else {
+                // hard case: first rank with dist < cropped, eq ranks below
+                int64_t first_lt = -1;
+                for (int32_t r = 0; r < n; r++)
+                    if (dd[r] < cropped_sc) { first_lt = r; break; }
+                int64_t limit = first_lt >= 0 ? first_lt : n;
+                int64_t e1 = -1, e2 = -1;
+                for (int32_t r = 0; r < (int32_t)limit; r++)
+                    if (dd[r] == cropped_sc) {
+                        if (e1 < 0) e1 = r;
+                        else if (e2 < 0) { e2 = r; break; }
+                    }
+                int64_t early;
+                if (e1 >= 0 && e1 != 0) early = e1;
+                else if (e2 >= 0) early = e2;
+                else early = 0;
+                int64_t late = first_lt >= 0 ? first_lt : 0;
+                if (early > 0) end = early + 1;
+                else if (late > 0) end = late + 1;
+                // else keep all
+            }
+        }
+        // relative cutoff threshold (rank_batch.py:139-152)
+        if (cutoff_threshold >= 1.0 && !stop_before_cutoff) {
+            double best = ss[0];
+            double lim = best / cutoff_threshold;
+            for (int64_t r = 1; r < end; r++)
+                if (ss[r] <= lim) { end = r; break; }
+        }
+        for (int64_t r = 0; r < end; r++) {
+            out_seg[out_n] = s;
+            out_vid[out_n] = vocab_ids_tab[ccan[rr[r]]];
+            out_ds[out_n] = dd[r];
+            out_fq[out_n] = ff[r];
+            out_n++;
+        }
+    }
+    return out_n;
 }
 
 }  // extern "C"

@@ -80,6 +80,11 @@ if jax.config.jax_compilation_cache_dir is None:
 
 from .dl_jax import PAD_A, PAD_B, affix_metrics_aligned, dl_metrics_windowed
 from .rank_batch import rank_fast_batch
+
+try:
+    from ..utils.native import rank_tail_native as _rank_tail_native
+except Exception:  # pragma: no cover - native module always importable
+    _rank_tail_native = None
 from ..types import (
     Distance,
     MAX_ANAGRAM_DISTANCE as _MAX_ANAGRAM_DISTANCE,
@@ -898,6 +903,12 @@ class DevicePipeline:
             count=len(decoder),
         )
         self._has_variants = dec_flags[index.vocab_ids]
+        # contiguous uint8 view + int64 tables for the native ranking tail
+        self._has_var_u8 = (
+            np.ascontiguousarray(self._has_variants, dtype=np.uint8)
+            if self._has_variants.any()
+            else None  # NULL: the native tail skips the per-pair flag reads
+        )
         from ..utils.profiling import StageTimer
 
         self.stats = StageTimer()
@@ -968,7 +979,8 @@ class DevicePipeline:
         (o_q rebuilt from the transferred bounds), so downstream host work
         scales with real survivors rather than the padded budget."""
         buf, B, P2 = out
-        host = np.asarray(jax.device_get(buf))
+        with self.stats.stage("dev_get"):
+            host = np.asarray(jax.device_get(buf))
         bounds = host[: B + 1]
         n = int(bounds[B])
         o_q = np.repeat(
@@ -1217,6 +1229,100 @@ class DevicePipeline:
             results[i] = r
         return [r if r is not None else [] for r in results]
 
+    def _native_obj_instances(
+        self, row, perm, nbounds, o_c_dev, o_ld, o_lcs, o_pf, o_sf, o_case,
+        vocab_ids,
+    ) -> List[Tuple[int, "Distance"]]:
+        """(query, canonical)-ordered (vocab_id, Distance) pairs for one row,
+        read through the native tail's sorted permutation — the exact
+        object-path input for rows with expandable variants."""
+        lo, hi = int(nbounds[row]), int(nbounds[row + 1])
+        canon_of = self._canon_of
+        ni_max = self.Ni_pad - 1
+        out: List[Tuple[int, Distance]] = []
+        for k in range(lo, hi):
+            p = int(perm[k])
+            c = int(canon_of[min(int(o_c_dev[p]), ni_max)])
+            out.append(
+                (
+                    int(vocab_ids[c]),
+                    Distance(
+                        ld=int(o_ld[p]), lcs=int(o_lcs[p]),
+                        prefixlen=int(o_pf[p]), suffixlen=int(o_sf[p]),
+                        samecase=bool(o_case[p]),
+                    ),
+                )
+            )
+        return out
+
+    def _late_conf_and_finalize(
+        self, results, active, inputs, params, batch_res, elig_row,
+        late_conf, nrows, instances_fn, floors, q_lens,
+    ) -> None:
+        """Shared tail epilogue for the native and numpy rank paths.
+
+        Batched late-confusables: ONE native library crossing rescopes the
+        whole batch's cropped survivors (per-query calls cost ~0.5 ms of
+        ctypes/edit-script overhead each); per-query work shrinks to the
+        tiny re-rank + cutoff over <= max_matches survivors. Rows the fast
+        path skipped (expandable variants / fast_ok off) take the exact
+        object path via ``instances_fn``."""
+        model = self.model
+        late_conf_batched = False
+        if late_conf and batch_res is not None:
+            nc = model._native_confusables()
+            if nc is not None:
+                from ..types import rank_results
+
+                row_ids = [row for row in range(nrows) if elig_row[row]]
+                inputs_list = [inputs[active[row]] for row in row_ids]
+                texts: List[str] = []
+                input_of: List[int] = []
+                decoder = model.decoder
+                for ri, row in enumerate(row_ids):
+                    for r in batch_res[row]:
+                        texts.append(decoder[r.vocab_id].text)
+                        input_of.append(ri)
+                if texts:
+                    try:
+                        ws = nc.weights_pairs(
+                            inputs_list, texts,
+                            np.asarray(input_of, dtype=np.int32),
+                        )
+                    except Exception:
+                        ws = None
+                    if ws is not None:
+                        pos = 0
+                        for row in row_ids:
+                            res = batch_res[row]
+                            for r in res:
+                                r.dist_score *= float(ws[pos])
+                                pos += 1
+                            rank_results(res, params.freq_weight)
+                            batch_res[row] = model.cutoff_tail(res, params)
+                        late_conf_batched = True
+                else:
+                    late_conf_batched = True
+        for row, i in enumerate(active):
+            if elig_row[row]:
+                if late_conf and not late_conf_batched:
+                    results[i] = model.late_rescore_and_cutoff(
+                        batch_res[row], inputs[i], params
+                    )
+                else:
+                    results[i] = batch_res[row]
+            else:
+                results[i] = model.score_and_rank(
+                    instances_fn(row),
+                    inputs[i],
+                    int(q_lens[row]),
+                    params.max_matches,
+                    params.score_threshold,
+                    params.cutoff_threshold,
+                    params.freq_weight,
+                    max_freq_floor=float(floors[row]),
+                )
+
     def collect(self, state) -> List[List[VariantResult]]:
         """Block on a submitted batch, handle budget escalation, rank."""
         results = state["results"]
@@ -1281,6 +1387,70 @@ class DevicePipeline:
         tail_cm.__enter__()
         index = self.model.index
         vocab_ids = index.vocab_ids
+        late_conf = (
+            bool(model.confusables) and not model.confusables_before_pruning
+        )
+        fast_ok = (not model.confusables or late_conf) and getattr(
+            model, "fast_tail", True
+        )
+        nrows = len(active)
+
+        # ---- native one-call ranking tail (sort + score + rank + crop) ----
+        # Exact f64 port of the numpy tail below (ananorm.cpp rank_tail);
+        # ~60 ms of GIL-holding numpy per 4096-query batch becomes ~3 ms of
+        # C++. The numpy path remains the fallback and the test oracle.
+        nt = None
+        if fast_ok and _rank_tail_native is not None:
+            with self.stats.stage("tail_native"):
+                w = model.weights
+                nt = _rank_tail_native(
+                    o_q, o_c, (o_ld, o_lcs, o_pf, o_sf, o_case),
+                    self._canon_of, q_lens,
+                    index.freqs if model.have_freq else None,
+                    self._has_var_u8, vocab_ids, max_freq, nrows,
+                    (w.ld, w.lcs, w.prefix, w.suffix, w.case, w.sum()),
+                    params.score_threshold, params.cutoff_threshold,
+                    params.freq_weight, params.max_matches,
+                    bool(model.have_freq), late_conf,
+                )
+        if nt is not None:
+            (n_out, r_seg, r_vid, r_ds, r_fq, elig_u8, perm, nbounds) = nt
+            with self.stats.stage("tail_emit"):
+                elig_row = np.zeros(B, dtype=bool)
+                elig_row[:nrows] = elig_u8.view(bool)
+                batch_res: List[List[VariantResult]] = [
+                    [] for _ in range(nrows)
+                ]
+                for g, v, dv, fv in zip(
+                    r_seg[:n_out].tolist(), r_vid[:n_out].tolist(),
+                    r_ds[:n_out].tolist(), r_fq[:n_out].tolist(),
+                ):
+                    batch_res[g].append(VariantResult(v, dv, fv, None))
+                self._late_conf_and_finalize(
+                    results, active, inputs, params, batch_res, elig_row,
+                    late_conf, nrows,
+                    # exact object path for the rare expandable rows
+                    lambda row: self._native_obj_instances(
+                        row, perm, nbounds, o_c, o_ld, o_lcs, o_pf, o_sf,
+                        o_case, vocab_ids,
+                    ),
+                    max_freq[:B].astype(np.float64),
+                    q_lens,
+                )
+            tail_cm.__exit__(None, None, None)
+            if model.debug >= 2:
+                print(
+                    f"(batch of {len(active)}: {total_match} candidates, "
+                    f"{total_keep} kept; P={self._P_by_B.get(B)}, "
+                    f"P2={self._P2_by_B.get(B)}, window={window})",
+                    file=sys.stderr,
+                )
+                self.stats.report()
+                self.stats.clear()
+            return [r if r is not None else [] for r in results]
+
+        sub_cm = self.stats.stage("tail_sort")
+        sub_cm.__enter__()
         # survivors arrive as DEVICE rows (charcount-sorted layout): map back
         # to canonical index rows, then restore the reference's (query,
         # canonical candidate) order with a lexsort
@@ -1290,9 +1460,12 @@ class DevicePipeline:
             x[order] for x in (o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case)
         )
         bounds = np.searchsorted(o_q, np.arange(B + 1))
+        sub_cm.__exit__(None, None, None)
 
         # vectorized float64 scoring over all surviving pairs at once
         # (exact: integer metrics, same formula as score_and_rank)
+        sub_cm = self.stats.stage("tail_score")
+        sub_cm.__enter__()
         w = model.weights
         qlen_all = q_lens[np.minimum(o_q, B - 1)].astype(np.float64)
         qlen_all = np.maximum(qlen_all, 1.0)
@@ -1316,17 +1489,13 @@ class DevicePipeline:
         # via the native batch matcher and re-rank (the reference applies
         # confusables to survivors too, lib.rs:1592-1595). Early confusables
         # rescore BEFORE the crop, so they keep the exact object path.
-        late_conf = (
-            bool(model.confusables) and not model.confusables_before_pruning
-        )
-        fast_ok = (not model.confusables or late_conf) and getattr(
-            model, "fast_tail", True
-        )
-        nrows = len(active)
         # the device max runs over ALL scored instances (incl. below the score
         # threshold, which never reach the host) — it IS the reference's
         # normalization max, so it is always the floor (lib.rs:1455-1476)
         floors = max_freq[:B].astype(np.float64)
+        sub_cm.__exit__(None, None, None)
+        sub_cm = self.stats.stage("tail_rank")
+        sub_cm.__enter__()
         if fast_ok:
             # rows whose pairs contain an expandable variant fall back to the
             # object path; everything else ranks in one whole-batch pass
@@ -1353,79 +1522,31 @@ class DevicePipeline:
         else:
             elig_row = np.zeros(B, dtype=bool)
             batch_res = None
-        # batched late-confusables: ONE native library crossing rescopes the
-        # whole batch's cropped survivors (per-query calls cost ~0.5 ms of
-        # ctypes/edit-script overhead each); per-query work shrinks to the
-        # tiny re-rank + cutoff over <= max_matches survivors
-        late_conf_batched = False
-        if late_conf and batch_res is not None:
-            nc = model._native_confusables()
-            if nc is not None:
-                from ..types import rank_results
+        sub_cm.__exit__(None, None, None)
+        sub_cm = self.stats.stage("tail_emit")
+        sub_cm.__enter__()
 
-                row_ids = [row for row in range(nrows) if elig_row[row]]
-                inputs_list = [inputs[active[row]] for row in row_ids]
-                texts: List[str] = []
-                input_of: List[int] = []
-                decoder = model.decoder
-                for ri, row in enumerate(row_ids):
-                    for r in batch_res[row]:
-                        texts.append(decoder[r.vocab_id].text)
-                        input_of.append(ri)
-                if texts:
-                    try:
-                        ws = nc.weights_pairs(
-                            inputs_list, texts,
-                            np.asarray(input_of, dtype=np.int32),
-                        )
-                    except Exception:
-                        ws = None
-                    if ws is not None:
-                        pos = 0
-                        for row in row_ids:
-                            res = batch_res[row]
-                            for r in res:
-                                r.dist_score *= float(ws[pos])
-                                pos += 1
-                            rank_results(res, params.freq_weight)
-                            batch_res[row] = model.cutoff_tail(res, params)
-                        late_conf_batched = True
-                else:
-                    late_conf_batched = True
-        for row, i in enumerate(active):
+        def _np_instances(row: int) -> List[Tuple[int, Distance]]:
             lo, hi = int(bounds[row]), int(bounds[row + 1])
-            max_freq_floor = float(floors[row])
-            if elig_row[row]:
-                if late_conf and not late_conf_batched:
-                    results[i] = model.late_rescore_and_cutoff(
-                        batch_res[row], inputs[i], params
-                    )
-                else:
-                    results[i] = batch_res[row]
-            else:
-                instances: List[Tuple[int, Distance]] = [
-                    (
-                        int(vocab_ids[o_c[p]]),
-                        Distance(
-                            ld=int(o_ld[p]),
-                            lcs=int(o_lcs[p]),
-                            prefixlen=int(o_pf[p]),
-                            suffixlen=int(o_sf[p]),
-                            samecase=bool(o_case[p]),
-                        ),
-                    )
-                    for p in range(lo, hi)
-                ]
-                results[i] = model.score_and_rank(
-                    instances,
-                    inputs[i],
-                    int(q_lens[row]),
-                    params.max_matches,
-                    params.score_threshold,
-                    params.cutoff_threshold,
-                    params.freq_weight,
-                    max_freq_floor=max_freq_floor,
+            return [
+                (
+                    int(vocab_ids[o_c[p]]),
+                    Distance(
+                        ld=int(o_ld[p]),
+                        lcs=int(o_lcs[p]),
+                        prefixlen=int(o_pf[p]),
+                        suffixlen=int(o_sf[p]),
+                        samecase=bool(o_case[p]),
+                    ),
                 )
+                for p in range(lo, hi)
+            ]
+
+        self._late_conf_and_finalize(
+            results, active, inputs, params, batch_res, elig_row, late_conf,
+            nrows, _np_instances, floors, q_lens,
+        )
+        sub_cm.__exit__(None, None, None)
         tail_cm.__exit__(None, None, None)
         if model.debug >= 2:
             print(

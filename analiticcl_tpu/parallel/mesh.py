@@ -175,6 +175,11 @@ class ShardedPipeline(DevicePipeline):
             dtype=bool,
             count=index.size,
         )
+        self._has_var_u8 = (
+            np.ascontiguousarray(self._has_variants, dtype=np.uint8)
+            if self._has_variants.any()
+            else None
+        )
         from ..utils.profiling import StageTimer
 
         self.stats = StageTimer()

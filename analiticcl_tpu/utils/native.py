@@ -190,8 +190,124 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_double),
         ]
+        lib.ananorm_rank_tail.restype = ctypes.c_int64
+        lib.ananorm_rank_tail.argtypes = [
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),  # o_q
+            ctypes.POINTER(ctypes.c_int32),  # o_c_dev
+            ctypes.POINTER(ctypes.c_uint8),  # o_ld
+            ctypes.POINTER(ctypes.c_uint8),  # o_lcs
+            ctypes.POINTER(ctypes.c_uint8),  # o_pf
+            ctypes.POINTER(ctypes.c_uint8),  # o_sf
+            ctypes.POINTER(ctypes.c_uint8),  # o_case
+            ctypes.POINTER(ctypes.c_int64),  # canon_of
+            ctypes.c_int32,                  # ni_pad
+            ctypes.POINTER(ctypes.c_int32),  # q_lens
+            ctypes.POINTER(ctypes.c_double),  # freq_tab (nullable)
+            ctypes.POINTER(ctypes.c_uint8),  # has_var (nullable)
+            ctypes.POINTER(ctypes.c_int64),  # vocab_ids
+            ctypes.c_int32,                  # index_size
+            ctypes.POINTER(ctypes.c_uint32),  # floors
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,  # weights
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,  # thresholds
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # mm/have_freq/sbc
+            ctypes.POINTER(ctypes.c_int32),   # out_seg
+            ctypes.POINTER(ctypes.c_int64),   # out_vid
+            ctypes.POINTER(ctypes.c_double),  # out_ds
+            ctypes.POINTER(ctypes.c_double),  # out_fq
+            ctypes.POINTER(ctypes.c_uint8),   # out_elig
+            ctypes.POINTER(ctypes.c_int32),   # out_perm
+            ctypes.POINTER(ctypes.c_int32),   # out_bounds
+        ]
         _lib = lib
         return _lib
+
+
+def _ptr(arr: "np.ndarray", ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def rank_tail_native(
+    o_q: "np.ndarray",
+    o_c_dev: "np.ndarray",
+    metrics,  # (o_ld, o_lcs, o_pf, o_sf, o_case) uint8 arrays
+    canon_of: "np.ndarray",  # int64 [ni_pad]
+    q_lens: "np.ndarray",  # int32 [>= nseg]
+    freq_tab,  # float64 [index_size] or None
+    has_var,  # uint8/bool [index_size] or None
+    vocab_ids: "np.ndarray",  # int64 [index_size]
+    floors_u32: "np.ndarray",  # uint32 [>= nseg]
+    nseg: int,
+    weights,  # (ld, lcs, prefix, suffix, case, sum) floats
+    score_threshold: float,
+    cutoff_threshold: float,
+    freq_weight: float,
+    max_matches: int,
+    have_freq: bool,
+    stop_before_cutoff: bool,
+):
+    """One-call native ranking tail; returns None if the library is absent.
+
+    Returns (n_out, out_seg, out_vid, out_ds, out_fq, elig, perm, bounds):
+    survivors of every ELIGIBLE segment in final rank order (seg-major), an
+    eligibility bitmap (segments containing expandable pairs are left for
+    the host's exact object path), and the (seg, canonical)-sorted pair
+    permutation + per-segment bounds for those fallback rows."""
+    lib = _load()
+    if lib is None:
+        return None
+    n_pairs = int(len(o_q))
+    o_q = np.ascontiguousarray(o_q, dtype=np.int32)
+    o_c_dev = np.ascontiguousarray(o_c_dev, dtype=np.int32)
+    o_ld, o_lcs, o_pf, o_sf, o_case = (
+        np.ascontiguousarray(m, dtype=np.uint8) for m in metrics
+    )
+    q_lens = np.ascontiguousarray(q_lens, dtype=np.int32)
+    floors_u32 = np.ascontiguousarray(floors_u32, dtype=np.uint32)
+    canon_of = np.ascontiguousarray(canon_of, dtype=np.int64)
+    vocab_ids = np.ascontiguousarray(vocab_ids, dtype=np.int64)
+    null_d = ctypes.POINTER(ctypes.c_double)()
+    null_u8 = ctypes.POINTER(ctypes.c_uint8)()
+    if freq_tab is not None:
+        freq_tab = np.ascontiguousarray(freq_tab, dtype=np.float64)
+    if has_var is not None:
+        has_var = np.ascontiguousarray(has_var, dtype=np.uint8)
+    out_seg = np.empty(n_pairs, dtype=np.int32)
+    out_vid = np.empty(n_pairs, dtype=np.int64)
+    out_ds = np.empty(n_pairs, dtype=np.float64)
+    out_fq = np.empty(n_pairs, dtype=np.float64)
+    out_elig = np.empty(nseg, dtype=np.uint8)
+    out_perm = np.empty(max(n_pairs, 1), dtype=np.int32)
+    out_bounds = np.empty(nseg + 1, dtype=np.int32)
+    w_ld, w_lcs, w_prefix, w_suffix, w_case, w_sum = weights
+    n = lib.ananorm_rank_tail(
+        n_pairs, nseg,
+        _ptr(o_q, ctypes.c_int32), _ptr(o_c_dev, ctypes.c_int32),
+        _ptr(o_ld, ctypes.c_uint8), _ptr(o_lcs, ctypes.c_uint8),
+        _ptr(o_pf, ctypes.c_uint8), _ptr(o_sf, ctypes.c_uint8),
+        _ptr(o_case, ctypes.c_uint8),
+        _ptr(canon_of, ctypes.c_int64), int(len(canon_of)),
+        _ptr(q_lens, ctypes.c_int32),
+        _ptr(freq_tab, ctypes.c_double) if freq_tab is not None else null_d,
+        _ptr(has_var, ctypes.c_uint8) if has_var is not None else null_u8,
+        _ptr(vocab_ids, ctypes.c_int64), int(len(vocab_ids)),
+        _ptr(floors_u32, ctypes.c_uint32),
+        float(w_ld), float(w_lcs), float(w_prefix), float(w_suffix),
+        float(w_case), float(w_sum),
+        float(score_threshold), float(cutoff_threshold), float(freq_weight),
+        int(max_matches), int(bool(have_freq)), int(bool(stop_before_cutoff)),
+        _ptr(out_seg, ctypes.c_int32), _ptr(out_vid, ctypes.c_int64),
+        _ptr(out_ds, ctypes.c_double), _ptr(out_fq, ctypes.c_double),
+        _ptr(out_elig, ctypes.c_uint8), _ptr(out_perm, ctypes.c_int32),
+        _ptr(out_bounds, ctypes.c_int32),
+    )
+    if n < 0:
+        return None
+    return (
+        int(n), out_seg, out_vid, out_ds, out_fq, out_elig, out_perm,
+        out_bounds,
+    )
 
 
 def available() -> bool:

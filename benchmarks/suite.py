@@ -58,16 +58,24 @@ def _model(lexicon):
 
 
 def _throughput(model, queries, params, budget_s=30.0, batch=4096):
+    """Steady-state q/s: ONE continuous warm stream that cycles the query
+    set until the time budget is met (a stream shorter than the budget
+    would make pipeline fill/drain latency dominate the measurement)."""
     model.find_variants_batch(queries[:batch], params)  # compile
     model.find_variants_batch(queries[:batch], params)  # settle budgets
     tail = len(queries) % batch
     if tail:  # warm the final partial-batch bucket too
         model.find_variants_batch(queries[-tail:], params)
+
+    def cycle():
+        while True:
+            yield from queries
+
     t0 = time.time()
     done = 0
-    for _res in model.find_variants_stream(queries, params, batch_size=batch):
+    for _res in model.find_variants_stream(cycle(), params, batch_size=batch):
         done += 1
-        if time.time() - t0 > budget_s and done >= 4 * batch:
+        if done % batch == 0 and time.time() - t0 > budget_s:
             break
     return done / (time.time() - t0)
 
@@ -122,19 +130,32 @@ def search_text():
         max_ngram=2,
     )
     # CLI-shaped workload: 100-line groups streamed (device lookups for
-    # group N+1 in flight while group N consolidates), as process_search does
+    # group N+1 in flight while group N consolidates), as process_search does.
+    # Steady state: cycle the groups in ONE continuous stream until the time
+    # budget is met (a handful of groups would be fill/drain-dominated).
     groups = ["\n".join(sentences[i : i + 100]) for i in range(0, 512, 100)]
+    tokens_of = [sum(len(s.split()) for s in g.split("\n")) for g in groups]
     model.find_all_matches(text, params)  # compile all shape variants
     list(model.find_all_matches_stream(groups, params))  # settle budgets
+
+    def cycle():
+        while True:
+            yield from groups
+
+    budget_s = 30.0
     t0 = time.time()
-    outs = list(model.find_all_matches_stream(groups, params))
+    done_tokens = 0
+    matches = 0
+    for gi, out in enumerate(model.find_all_matches_stream(cycle(), params)):
+        done_tokens += tokens_of[gi % len(groups)]
+        matches += len(out)
+        if gi % len(groups) == len(groups) - 1 and time.time() - t0 > budget_s:
+            break
     dt = time.time() - t0
-    matches = [m for o in outs for m in o]
-    tokens = sum(len(s.split()) for s in sentences)
     return {
         "scenario": "search_text",
-        "tokens_per_s": round(tokens / dt, 1),
-        "matches": len(matches),
+        "tokens_per_s": round(done_tokens / dt, 1),
+        "matches": matches,
         "build_s": round(build_s, 2),
     }
 
