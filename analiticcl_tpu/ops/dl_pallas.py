@@ -33,6 +33,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -91,6 +93,21 @@ def _dl_kernel(a_ref, b_ref, al_ref, bl_ref, ld_ref, lcs_ref, *, L: int, W: int)
                         ring[wslot, jj] = big_vec
 
             # ---- banded DL pass ----
+            # Live candidate rows mat[i-1] .. mat[i-ndl] stacked once per
+            # row: each cell's transposition lookback then runs as ONE
+            # [d, s]-rectangle slab op chain (slice + iota selects + min)
+            # instead of per-(d, s) scalar ops — ~10 ops per cell rather
+            # than ~5 * W^2/2, which shrinks the unrolled program ~8x at
+            # W=12 (interpret-mode tests and Mosaic compiles scale with
+            # program size). The rectangle includes (d, s) pairs the old
+            # d+s <= W+1 prune skipped; those terms are genuine candidate
+            # penalties (v + d + s - 1, all > window), so exactness under
+            # the don't-care contract is unchanged.
+            ndl = min(W, i)  # rows i-1 .. i-ndl are live (i-d = 0 -> big)
+            live = jnp.stack(
+                [ring[(i - d) % R] for d in range(1, ndl + 1)]
+            )  # [ndl, L+1, SUB, LANE]
+
             del_prev = i_vec if jstart == 1 else big_vec
             db_cur = jnp.zeros((SUB, LANE), jnp.int32)
             for j in range(jstart, jend + 1):  # static
@@ -103,21 +120,27 @@ def _dl_kernel(a_ref, b_ref, al_ref, bl_ref, ld_ref, lcs_ref, *, L: int, W: int)
                 dele = del_prev + 1
 
                 last = lastcol[j - 1]
-                transp = big_vec * 4
-                # the transposition penalty is v + d + s - 1 (v >= 0), so any
-                # (d, s) with d + s > window + 1 exceeds the don't-care cutoff
-                # and can be skipped: W(W+1)/2-ish terms instead of (W+1)^2
-                for d in range(1, W + 1):
-                    if i - d < 0:
-                        continue  # slot would alias a future row; value is big
-                    sel_row = last == (i - d)
-                    for s in range(1, min(W + 1 - d, j - 1) + 1):
-                        # mat[i-d][j-s] at ring[(i-d) % R] position j-s-1
-                        v = ring[(i - d) % R, j - s - 1]
-                        term = v + (d - 1) + 1 + (s - 1)
-                        transp = jnp.where(
-                            sel_row & (db_cur == j - s), term, transp
-                        )
+                transp = big_vec
+                smax0 = min(W, j - 1)
+                if smax0 >= 1:
+                    # V[d-1, q] = mat[i-d][l] for column l = j-smax0+q
+                    # (ring position l-1); row/column matches select the
+                    # (last, db) candidate via in-kernel iotas —
+                    # pallas_call cannot capture array constants
+                    V = live[:, j - 1 - smax0 : j - 1]
+                    d_io = jax.lax.broadcasted_iota(
+                        jnp.int32, (ndl, smax0, SUB, LANE), 0
+                    )
+                    q_io = jax.lax.broadcasted_iota(
+                        jnp.int32, (ndl, smax0, SUB, LANE), 1
+                    )
+                    # d = d_io+1, s = smax0-q_io: term = v + d + s - 1
+                    term = V + d_io + (smax0 - q_io)
+                    sel = (last[None, None] == i - 1 - d_io) & (
+                        db_cur[None, None] == (j - smax0) + q_io
+                    )
+                    cand = jnp.where(sel, term, big_vec)
+                    transp = jnp.min(cand, axis=(0, 1))
 
                 newv = jnp.minimum(
                     jnp.minimum(sub, ins), jnp.minimum(dele, transp)
