@@ -1501,8 +1501,9 @@ class VariantModel:
         def submit_unit(unit_texts):
             preps, uniq, all_texts = self._fam_prepare(unit_texts, params)
             if all_texts and len(all_texts) <= pipe.max_B:
-                return (len(unit_texts), preps, uniq,
-                        pipe.submit(all_texts, params), None)
+                st = pipe.submit(all_texts, params)
+                st["want_ranked"] = True  # array-native consolidation
+                return (len(unit_texts), preps, uniq, st, None)
             fb = (
                 self.find_variants_batch(all_texts, params)
                 if all_texts
@@ -1589,7 +1590,7 @@ class VariantModel:
                     hard_batches
                 ):
                     for segment in find_match_ngrams(
-                        text, bslice, order, bbegin, bend
+                        text, bslice, order, bbegin, bend, bytetext=bytetext
                     ):
                         pending.append((bi, segment))
                         if segment.text not in uniq:
@@ -1599,12 +1600,33 @@ class VariantModel:
             preps.append((text, hard_batches, per_order))
         return preps, uniq, all_texts
 
+    def _fam_fast_ok(self, found, params: SearchParameters) -> bool:
+        """Whether the array-native consolidation applies: device results
+        arrived as a RankedResults batch and the decode reduces to pure
+        argmin path cost (no LM in play, no context rules, no lattice
+        dump). ``fast_consolidate = False`` forces the object path (used by
+        the equivalence tests)."""
+        if not getattr(self, "fast_consolidate", True) or self.debug >= 3:
+            return False
+        from ..ops.pipeline import RankedResults
+
+        if not isinstance(found, RankedResults):
+            return False
+        if self.context_rules:  # tags are computed even at weight 0
+            return False
+        if self.have_lm and params.lm_weight > 0:
+            return False
+        return True
+
     def _fam_consolidate(
         self, preps, uniq, found, params: SearchParameters
     ) -> List[List[Match]]:
         """find_all_matches phase 3: attach looked-up variants to segments,
         apply the redundancy filter, consolidate sequences per hard batch."""
         from ..search import redundant_match, remap_offsets_to_unicodepoints
+
+        if self._fam_fast_ok(found, params):
+            return self._fam_consolidate_fast(preps, uniq, found, params)
 
         results: List[List[Match]] = []
         for prep in preps:
@@ -1638,6 +1660,300 @@ class VariantModel:
                         m.selected = 0
                         matches.append(m)
 
+            if params.unicodeoffsets:
+                matches = remap_offsets_to_unicodepoints(text, matches)
+            results.append(matches)
+        return results
+
+    def _fam_consolidate_fast(
+        self, preps, uniq, found, params: SearchParameters
+    ) -> List[List[Match]]:
+        """Array-native consolidation for the common search case.
+
+        Equivalent to :meth:`_fam_consolidate` + :meth:`most_likely_sequence`
+        when the decode is pure argmin path cost (nbest=1, no LM scoring, no
+        context rules — the `_best_path` route): every hard batch of every
+        text becomes one chain in a flat arc array, the Viterbi DP runs
+        lockstep across ALL chains in ~max_states numpy steps (first-minimum
+        tie-break in (source state, creation order) — the in_arcs order of
+        the object path), and Match/VariantResult objects materialize only
+        for the best-path output. Equivalence with the object path is pinned
+        by tests/test_search.py.
+        """
+        from ..search import remap_offsets_to_unicodepoints
+
+        fw = params.freq_weight
+        ds = found.ds
+        if fw > 0.0:
+            score_all = (ds + fw * found.fq) / (1.0 + fw)
+        else:
+            score_all = ds.astype(np.float64, copy=False)
+        # sentinel slot: OOV arcs price as score 0 (cost n+1); override
+        # segments (rare) append their object scores behind it
+        extra_scores: List[float] = []
+        extra_base = len(score_all) + 1
+        consolidate = (
+            params.max_ngram > 1 or self.have_lm or bool(self.context_rules)
+        )
+
+        row_of = found.row_of.tolist()  # input -> survivor row (-1: override)
+        sbounds = found.sbounds
+        n_sv = len(ds)
+        # per-row redundancy predicate, vectorized once: non-empty survivor
+        # set whose top dist_score is a perfect 1.0 (search.rs:317-336)
+        row_lo = sbounds[:-1]
+        if n_sv:
+            perfect_row = (
+                (sbounds[1:] > row_lo)
+                & (ds[np.minimum(row_lo, n_sv - 1)] >= 1.0)
+            ).tolist()
+        else:
+            perfect_row = [False] * len(row_lo)
+
+        def top_perfect(q: int) -> bool:
+            row = row_of[q]
+            if row >= 0:
+                return perfect_row[row]
+            lst = found[q]
+            return bool(lst) and lst[0].dist_score >= 1.0
+
+        def redundant_fast(cand, bmatches) -> bool:
+            # search.redundant_match over qidx/arrays (search.rs:317-336)
+            for ref in bmatches:
+                if ref.n != 1:
+                    break  # unigrams are at the beginning of the vector
+                if (
+                    ref.offset.begin >= cand.offset.begin
+                    and ref.offset.end <= cand.offset.end
+                ):
+                    if ref.qidx is None or not top_perfect(ref.qidx):
+                        return False
+            return True
+
+        # ---- phase A: attach + redundancy filter + arc-group collection ----
+        all_matches: List[Match] = []  # global match registry (arc targets)
+        # variant/OOV arc groups, in creation order (one row per match):
+        # (chain, src, tgt, score_lo, k, n_span, match, is_oov)
+        groups: List[Tuple[int, int, int, int, int, int, int, bool]] = []
+        # epsilon failsafe arcs (created after all match arcs, lib.rs:2265)
+        e_chain: List[int] = []
+        e_src: List[int] = []
+        e_tgt: List[int] = []
+        chain_states: List[int] = []  # nstates per chain
+        chain_finals: List[List[int]] = []
+        chain_narcs: List[int] = []  # non-eps arc count (quirk detection)
+        chain_bmatches: List[List[Match]] = []
+        # per text: list of ("dp", chain_id) | ("direct", matches)
+        text_plans: List[Optional[Tuple[str, List]]] = []
+
+        for prep in preps:
+            if prep is None:
+                text_plans.append(None)
+                continue
+            text, hard_batches, per_order = prep
+            batch_matches: List[List[Match]] = [[] for _ in hard_batches]
+            for order_idx, pending in enumerate(per_order):
+                for bi, seg in pending:
+                    if order_idx == 0 or redundant_fast(
+                        seg, batch_matches[bi]
+                    ) is False:
+                        seg.qidx = uniq[seg.text]
+                    batch_matches[bi].append(seg)
+
+            plan: List = []
+            for bi, (bbegin, bend, bslice, _btext) in enumerate(hard_batches):
+                bmatches = batch_matches[bi]
+                if not consolidate:
+                    for m in bmatches:
+                        if m.qidx is not None:
+                            m.variants = found[m.qidx]
+                        m.selected = 0
+                    plan.append(("direct", bmatches))
+                    continue
+                cid = len(chain_states)
+                nstates = len(bslice) + 1
+                finals = [
+                    i + 1
+                    for i, b in enumerate(bslice)
+                    if b.offset.begin == bend or b.offset.end == bend
+                ]
+                if not finals:
+                    raise RuntimeError("no final state found")
+                # boundary offsets are strictly increasing, so the last-match
+                # -wins scan of the object path is an exact dict lookup
+                end_at = {b.offset.end: i for i, b in enumerate(bslice)}
+                begin_at = {b.offset.begin: i for i, b in enumerate(bslice)}
+                narcs = 0
+                for m in bmatches:
+                    nextb = begin_at.get(m.offset.end)
+                    if nextb is None:
+                        continue
+                    prevb = end_at.get(m.offset.begin)
+                    if prevb is not None:
+                        n_span = nextb - prevb
+                        prevstate = prevb + 1
+                    else:
+                        n_span = nextb + 1
+                        prevstate = 0
+                    q = m.qidx
+                    k = 0
+                    lo = 0
+                    if q is not None:
+                        row = row_of[q]
+                        if row >= 0:
+                            lo = int(sbounds[row])
+                            k = int(sbounds[row + 1]) - lo
+                        else:  # override row (rare): object scores
+                            objlist = found[q]
+                            k = len(objlist)
+                            lo = extra_base + len(extra_scores)
+                            extra_scores.extend(r.score(fw) for r in objlist)
+                    if k > 0:
+                        groups.append(
+                            (cid, prevstate, nextb + 1, lo, k, n_span,
+                             len(all_matches), False)
+                        )
+                        all_matches.append(m)
+                        narcs += k
+                    elif n_span == 1:  # out-of-vocabulary unigram
+                        groups.append(
+                            (cid, prevstate, nextb + 1, len(score_all), 1,
+                             n_span, len(all_matches), True)
+                        )
+                        all_matches.append(m)
+                        narcs += 1
+                for i in range(len(bslice)):
+                    e_chain.append(cid)
+                    e_src.append(0 if i == 0 else i)
+                    e_tgt.append(i + 1)
+                chain_states.append(nstates)
+                chain_finals.append(finals)
+                chain_narcs.append(narcs)
+                chain_bmatches.append(bmatches)
+                plan.append(("dp", cid))
+            text_plans.append((text, plan))
+
+        # ---- phase B: arc expansion + lockstep Viterbi over all chains ----
+        chain_out: List[List[Match]] = []
+        if chain_states:
+            scores_cat = np.concatenate(
+                [score_all, np.zeros(1), np.asarray(extra_scores, np.float64)]
+            )
+            if groups:
+                (g_chain, g_src, g_tgt, g_lo, g_k, g_n, g_match, g_oov) = (
+                    np.asarray(col) for col in zip(*groups)
+                )
+            else:
+                g_chain = g_src = g_tgt = g_lo = g_k = g_n = g_match = (
+                    np.zeros(0, np.int64)
+                )
+                g_oov = np.zeros(0, bool)
+            gk = g_k.astype(np.int64)
+            tot = int(gk.sum())
+            offs = (
+                np.arange(tot, dtype=np.int64)
+                - np.repeat(np.cumsum(gk) - gk, gk)
+            )
+            a_chain = np.repeat(g_chain.astype(np.int64), gk)
+            a_src = np.repeat(g_src.astype(np.int64), gk)
+            a_tgt = np.repeat(g_tgt.astype(np.int64), gk)
+            a_cost = (
+                np.repeat(g_n.astype(np.float64) + 1.0, gk)
+                - scores_cat[np.repeat(g_lo.astype(np.int64), gk) + offs]
+            )
+            a_match = np.repeat(g_match.astype(np.int64), gk)
+            a_vidx = np.where(np.repeat(g_oov, gk), -1, offs).astype(np.int64)
+            ne = len(e_chain)
+            a_chain = np.concatenate([a_chain, np.asarray(e_chain, np.int64)])
+            a_src = np.concatenate([a_src, np.asarray(e_src, np.int64)])
+            a_tgt = np.concatenate([a_tgt, np.asarray(e_tgt, np.int64)])
+            a_cost = np.concatenate([a_cost, np.full(ne, 100.0)])
+            a_match = np.concatenate([a_match, np.full(ne, -1, np.int64)])
+            a_vidx = np.concatenate([a_vidx, np.full(ne, -2, np.int64)])
+            a_serial = np.arange(len(a_chain), dtype=np.int64)
+
+            nchains = len(chain_states)
+            smax = max(chain_states)
+            v = np.full((nchains, smax), np.inf)
+            v[:, 0] = 0.0
+            back = np.full((nchains, smax), -1, dtype=np.int64)
+            bytgt = np.argsort(a_tgt, kind="stable")
+            s_tgt = a_tgt[bytgt]
+            starts = np.searchsorted(s_tgt, np.arange(smax + 1))
+            s_chain = a_chain[bytgt]
+            s_src = a_src[bytgt]
+            s_cost = a_cost[bytgt]
+            s_serial = a_serial[bytgt]
+            for t in range(1, smax):
+                lo_, hi_ = int(starts[t]), int(starts[t + 1])
+                if lo_ == hi_:
+                    continue
+                ch = s_chain[lo_:hi_]
+                src = s_src[lo_:hi_]
+                cand = v[ch, src] + s_cost[lo_:hi_]
+                # first strict minimum in in_arcs order == min by
+                # (cost, src, creation serial), matching _best_path
+                order = np.lexsort((s_serial[lo_:hi_], src, cand, ch))
+                chs = ch[order]
+                firsts = np.ones(chs.size, bool)
+                firsts[1:] = chs[1:] != chs[:-1]
+                sel = order[firsts]
+                win = ch[sel]
+                v[win, t] = cand[sel]
+                back[win, t] = s_serial[lo_:hi_][sel]
+
+            for cid in range(nchains):
+                bmatches = chain_bmatches[cid]
+                if chain_narcs[cid] == 0:
+                    # no symbols at all: the object path returns the raw
+                    # match list untouched (most_likely_sequence early-out);
+                    # redundancy-filtered segments keep variants None there
+                    for m in bmatches:
+                        if m.variants is None and m.qidx is not None:
+                            m.variants = found[m.qidx]
+                    chain_out.append(bmatches)
+                    continue
+                best_cost = np.inf
+                best_state = -1
+                for s in sorted(chain_finals[cid]):
+                    c = v[cid, s]
+                    if c < best_cost:
+                        best_cost = c
+                        best_state = s
+                if best_state < 0 or not np.isfinite(best_cost):
+                    chain_out.append([])  # unreachable (cannot happen: eps)
+                    continue
+                path: List[int] = []
+                state = best_state
+                while state > 0:
+                    aid = int(back[cid, state])
+                    if a_vidx[aid] != -2:
+                        path.append(aid)
+                    state = int(a_src[aid])
+                path.reverse()
+                out: List[Match] = []
+                for aid in path:
+                    m = all_matches[int(a_match[aid])].shallow_copy()
+                    vx = int(a_vidx[aid])
+                    m.selected = vx if vx >= 0 else None
+                    if m.qidx is not None:
+                        m.variants = found[m.qidx]
+                    out.append(m)
+                chain_out.append(out)
+
+        # ---- phase C: reassemble per text ----
+        results: List[List[Match]] = []
+        for tp in text_plans:
+            if tp is None:
+                results.append([])
+                continue
+            text, plan = tp
+            matches: List[Match] = []
+            for kind, payload in plan:
+                if kind == "dp":
+                    matches.extend(chain_out[payload])
+                else:
+                    matches.extend(payload)
             if params.unicodeoffsets:
                 matches = remap_offsets_to_unicodepoints(text, matches)
             results.append(matches)

@@ -796,6 +796,81 @@ _query_fused = partial(
 )(_query_core_packed)
 
 
+class RankedResults:
+    """Array-backed per-input variant results (one device batch).
+
+    Sequence-compatible with ``List[List[VariantResult]]`` — ``[i]`` lazily
+    materializes (and memoizes) the object list — while exposing the flat
+    survivor arrays so array-native consumers (the vectorized search
+    consolidation in models/variant_model.py) can read scores without
+    building a Python object per survivor. Survivors are stored row-major
+    in final rank order, exactly as the native ranking tail emits them.
+    """
+
+    __slots__ = ("n", "vid", "ds", "fq", "row_of", "sbounds", "overrides",
+                 "_cache", "_lists")
+
+    def __init__(self, n, vid, ds, fq, row_of, sbounds, overrides):
+        self.n = n  # number of inputs
+        self.vid = vid  # int64 [n_out] vocab ids (rank order, row-major)
+        self.ds = ds  # f64 [n_out] dist scores
+        self.fq = fq  # f64 [n_out] freq scores
+        self.row_of = row_of  # int64 [n]: input -> survivor row (-1: override)
+        self.sbounds = sbounds  # int64 [nrows+1] survivor bounds per row
+        self.overrides = overrides  # input idx -> eager List[VariantResult]
+        self._cache: dict = {}
+        self._lists = None  # lazy .tolist() copies for fast materialization
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __iter__(self):
+        return (self[i] for i in range(self.n))
+
+    def arrays_of(self, i: int):
+        """(lo, hi) into vid/ds/fq for input ``i``, or None when the input
+        was resolved outside the fast tail (use ``[i]`` instead)."""
+        if i in self.overrides:
+            return None
+        row = int(self.row_of[i])
+        if row < 0:
+            return None
+        return int(self.sbounds[row]), int(self.sbounds[row + 1])
+
+    def __getitem__(self, i: int) -> List[VariantResult]:
+        if not isinstance(i, int):
+            raise TypeError("RankedResults supports integer indexing only")
+        if i < 0:
+            i += self.n
+        if not 0 <= i < self.n:
+            raise IndexError(i)
+        got = self._cache.get(i)
+        if got is not None:
+            return got
+        ov = self.overrides.get(i)
+        if ov is not None:
+            res = ov
+        else:
+            span = self.arrays_of(i)
+            if span is None:
+                res = []
+            else:
+                lo, hi = span
+                if self._lists is None:
+                    # one bulk numpy->python conversion; per-element numpy
+                    # scalar reads cost ~30x more across a search unit
+                    self._lists = (
+                        self.vid.tolist(), self.ds.tolist(), self.fq.tolist()
+                    )
+                vl, dl, fl = self._lists
+                res = [
+                    VariantResult(v, d, f, None)
+                    for v, d, f in zip(vl[lo:hi], dl[lo:hi], fl[lo:hi])
+                ]
+        self._cache[i] = res
+        return res
+
+
 class DevicePipeline:
     """Device-resident index + fused jitted query for one built model."""
 
@@ -1415,6 +1490,48 @@ class DevicePipeline:
                 )
         if nt is not None:
             (n_out, r_seg, r_vid, r_ds, r_fq, elig_u8, perm, nbounds) = nt
+            if state.get("want_ranked") and not late_conf:
+                # array-backed result (search mode): no per-survivor object
+                # construction; ineligible rows (expandable variants) and
+                # pre-resolved inputs become eager overrides
+                with self.stats.stage("tail_emit"):
+                    sb = np.searchsorted(
+                        r_seg[:n_out], np.arange(nrows + 1)
+                    ).astype(np.int64)
+                    row_of = np.full(len(results), -1, dtype=np.int64)
+                    overrides = {}
+                    floors = None
+                    for row, i in enumerate(active):
+                        if elig_u8[row]:
+                            row_of[i] = row
+                            continue
+                        if floors is None:
+                            floors = max_freq[:B].astype(np.float64)
+                        overrides[i] = model.score_and_rank(
+                            self._native_obj_instances(
+                                row, perm, nbounds, o_c, o_ld, o_lcs, o_pf,
+                                o_sf, o_case, vocab_ids,
+                            ),
+                            inputs[i],
+                            int(q_lens[row]),
+                            params.max_matches,
+                            params.score_threshold,
+                            params.cutoff_threshold,
+                            params.freq_weight,
+                            max_freq_floor=float(floors[row]),
+                        )
+                    for i, r in enumerate(results):
+                        if r is not None:
+                            overrides[i] = r
+                    rr = RankedResults(
+                        len(results), r_vid[:n_out], r_ds[:n_out],
+                        r_fq[:n_out], row_of, sb, overrides,
+                    )
+                tail_cm.__exit__(None, None, None)
+                if model.debug >= 2:
+                    self.stats.report()
+                    self.stats.clear()
+                return rr
             with self.stats.stage("tail_emit"):
                 elig_row = np.zeros(B, dtype=bool)
                 elig_row[:nrows] = elig_u8.view(bool)

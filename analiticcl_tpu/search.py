@@ -44,6 +44,10 @@ class Match:
     prevboundary: Optional[int] = None
     nextboundary: Optional[int] = None
     n: int = 0
+    # index of this segment's lookup in the unit's deduplicated query batch;
+    # the array-native consolidation reads scores through it instead of
+    # attaching materialized ``variants`` lists (models/variant_model.py)
+    qidx: Optional[int] = None
 
     def is_empty(self) -> bool:
         return not self.variants
@@ -87,6 +91,7 @@ class Match:
             prevboundary=self.prevboundary,
             nextboundary=self.nextboundary,
             n=self.n,
+            qidx=self.qidx,
         )
 
 
@@ -202,12 +207,16 @@ def find_match_ngrams(
     order: int,
     begin: int,
     end: Optional[int] = None,
+    bytetext: Optional[bytes] = None,
 ) -> List[Match]:
     """All ngrams of the given order between boundaries (search.rs:262-313).
 
-    Offsets are UTF-8 byte offsets into ``text``.
+    Offsets are UTF-8 byte offsets into ``text``. Pass ``bytetext`` when the
+    caller already encoded the text — re-encoding a long text once per
+    (hard batch, order) call dominated search-mode segmentation otherwise.
     """
-    bytetext = text.encode("utf-8")
+    if bytetext is None:
+        bytetext = text.encode("utf-8")
     ngrams: List[Match] = []
     end = end if end is not None else len(bytetext)
     i = 0

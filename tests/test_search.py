@@ -440,3 +440,64 @@ def test_find_boundaries_ascii_fast_path_equivalence():
         (b.text, b.offset.begin, b.offset.end)
         for b in _find_boundaries_generic(s)
     ]
+
+
+def test_fast_consolidation_equals_object_path():
+    """The array-native search consolidation (_fam_consolidate_fast over a
+    RankedResults batch) must reproduce the object path bit-for-bit:
+    offsets, selection, tie order, variants, quirks (redundancy-filtered
+    segments keep variants None; zero-arc chains return raw match lists)."""
+    import random as _random
+
+    alphabet, _ = get_test_alphabet()
+    model = VariantModel.new_with_alphabet(alphabet, Weights(), 0)
+    words = [
+        "rites", "tiers", "tires", "tries", "tyres", "rides", "brides",
+        "dire", "bride", "to", "happy", "earth", "wide", "world", "again",
+        "point", "appoint", "are", "right", "over", "under", "the",
+    ]
+    for w in words:
+        model.add_to_vocabulary(w, None, VocabParams())
+    model.build()
+    model.set_backend("device")
+    params = dataclasses.replace(get_test_searchparams(), max_ngram=2)
+
+    rng = _random.Random(7)
+
+    def corrupt(w):
+        if len(w) > 3 and rng.random() < 0.6:
+            i = rng.randrange(len(w) - 1)
+            return w[:i] + w[i + 1] + w[i] + w[i + 2:]
+        return w
+
+    texts = []
+    for _ in range(24):
+        n = rng.randrange(1, 9)
+        parts = [corrupt(rng.choice(words)) for _ in range(n)]
+        sep = rng.choice([" ", " ", ", ", ". ", " - "])
+        texts.append(sep.join(parts) + rng.choice(["", ".", "!", "?!"]))
+    texts.append("")  # empty text -> empty result
+    texts.append("xyzq gmbh qqq")  # heavy OOV
+
+    def signature(outs):
+        return [
+            [
+                (
+                    m.text, m.offset.begin, m.offset.end, m.selected, m.n,
+                    None
+                    if m.variants is None
+                    else [
+                        (r.vocab_id, r.dist_score, r.freq_score, r.via)
+                        for r in m.variants
+                    ],
+                )
+                for m in out
+            ]
+            for out in outs
+        ]
+
+    model.fast_consolidate = False
+    legacy = signature(list(model.find_all_matches_stream(texts, params)))
+    model.fast_consolidate = True
+    fast = signature(list(model.find_all_matches_stream(texts, params)))
+    assert fast == legacy
