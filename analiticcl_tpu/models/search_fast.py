@@ -1,0 +1,556 @@
+"""Array-native search-mode unit pipeline (the fast path of find_all_matches).
+
+The object path in variant_model.py mirrors the reference structurally:
+boundary/segment ``Match`` objects, per-hard-batch lattices, an n-best DP
+(lib.rs:1789-2495). That path stays — it handles the LM, context rules,
+debug dumps, and non-ASCII text. This module is the production fast path
+for everything else, and it is *shaped for the machine* rather than for the
+reference: on one host core feeding a TPU, per-object Python work is the
+throughput floor, so segmentation, attachment, redundancy filtering, arc
+construction, the Viterbi DP, and path backtracking all run as flat numpy
+array programs over the whole unit (several texts, all hard batches in
+lockstep). Python objects materialize only for best-path output.
+
+Exact output equivalence with the object path — offsets, tie order,
+variants sharing, the redundancy and internal-boundaries quirks
+(search.rs:103-120, 317-336) — is pinned by tests/test_search.py.
+"""
+
+from __future__ import annotations
+
+import re
+from bisect import bisect_left, bisect_right
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..search import Match, Offset, remap_offsets_to_unicodepoints
+
+_ASCII_NONALPHA = re.compile(rb"[^A-Za-z]+")
+
+
+@dataclass
+class FastUnit:
+    """Segmentation product of one stream unit (several texts)."""
+
+    texts: Sequence[str]
+    bytetexts: List[Optional[bytes]]
+    # per text: boundary offset arrays (python lists for scalar access)
+    bb: List[Optional[List[int]]]
+    be: List[Optional[List[int]]]
+    # chains (= hard batches), global across the unit
+    chain_text: List[int] = field(default_factory=list)
+    chain_begin: List[int] = field(default_factory=list)
+    chain_end: List[int] = field(default_factory=list)
+    chain_blo: List[int] = field(default_factory=list)
+    chain_bhi: List[int] = field(default_factory=list)
+    # per text: global chain id range [lo, hi)
+    text_chains: List[Tuple[int, int]] = field(default_factory=list)
+    # segments, global across the unit, text-major / batch-major /
+    # order-major: (chain, order, begin, end, q) tuples
+    segments: List[Tuple[int, int, int, int, int]] = field(
+        default_factory=list
+    )
+    # deduplicated lookup texts, first-appearance order
+    all_texts: List[str] = field(default_factory=list)
+
+
+def prepare_unit(texts: Sequence[str], max_ngram: int) -> Optional[FastUnit]:
+    """Segment a unit of ASCII texts into flat arrays (no Match objects).
+
+    Mirrors find_boundaries + classify_boundaries + the hard-batch split +
+    find_match_ngrams (search.rs:190-313, lib.rs:1817-1861) exactly,
+    including the trailing-segment internal-boundaries quirk. Returns None
+    if any text is non-ASCII (caller falls back to the object path).
+    """
+    for t in texts:
+        if t and not t.isascii():
+            return None
+    unit = FastUnit(
+        texts=texts,
+        bytetexts=[None] * len(texts),
+        bb=[None] * len(texts),
+        be=[None] * len(texts),
+    )
+    uniq: Dict[bytes, int] = {}
+    all_bytes: List[bytes] = []
+    ct, cb, ce, cblo, cbhi = (
+        unit.chain_text, unit.chain_begin, unit.chain_end,
+        unit.chain_blo, unit.chain_bhi,
+    )
+    segments = unit.segments
+
+    for ti, text in enumerate(texts):
+        if not text:
+            unit.text_chains.append((len(ct), len(ct)))
+            continue
+        data = text.encode()
+        unit.bytetexts[ti] = data
+        # boundaries: runs of non-alphabetic bytes + trailing empty
+        # (find_boundaries ASCII fast path, fuzz-pinned in tests)
+        bb: List[int] = []
+        be: List[int] = []
+        for m in _ASCII_NONALPHA.finditer(data):
+            bb.append(m.start())
+            be.append(m.end())
+        n = len(data)
+        if not bb or be[-1] != n:
+            bb.append(n)
+            be.append(n)
+        unit.bb[ti] = bb
+        unit.be[ti] = be
+        nb = len(bb)
+
+        # hard-batch split (lib.rs:1817-1836): HARD = multi-byte or final
+        chain_lo = len(ct)
+        begin = 0
+        begin_index = 0
+        for i in range(nb):
+            if (be[i] - bb[i] > 1 or i == nb - 1) and bb[i] != begin:
+                ct.append(ti)
+                cb.append(begin)
+                ce.append(bb[i])
+                cblo.append(begin_index)
+                cbhi.append(i + 1)
+                begin = be[i]
+                begin_index = i + 1
+        unit.text_chains.append((chain_lo, len(ct)))
+
+        # segments per batch, order-major within the batch (the attach /
+        # arc creation order of the object path)
+        for cid in range(chain_lo, len(ct)):
+            bbegin, bend = cb[cid], ce[cid]
+            blo, bhi = cblo[cid], cbhi[cid]
+            m_b = bhi - blo
+            for order in range(1, max_ngram + 1):
+                seg_begin = bbegin
+                i = 0
+                while i + order - 1 < m_b:
+                    bnd_begin = bb[blo + i + order - 1]
+                    if bnd_begin > bend:
+                        break
+                    ln = bnd_begin - seg_begin
+                    if ln > 0 and not (ln == 1 and data[seg_begin] == 0x20):
+                        key = data[seg_begin:bnd_begin]
+                        q = uniq.get(key)
+                        if q is None:
+                            q = len(all_bytes)
+                            uniq[key] = q
+                            all_bytes.append(key)
+                        segments.append(
+                            (cid, order, seg_begin, bnd_begin, q)
+                        )
+                    seg_begin = be[blo + i]
+                    i += 1
+                if seg_begin < bend:
+                    ln = bend - seg_begin
+                    if ln > 0 and not (ln == 1 and data[seg_begin] == 0x20):
+                        # internal-boundaries quirk (search.rs:103-120): the
+                        # hit range over the batch slice is contiguous, the
+                        # quirk slice length equals the hit count, and a
+                        # single hit yields an empty slice
+                        lo_i = bisect_right(bb, seg_begin, blo, bhi)
+                        hi_i = bisect_left(be, bend, blo, bhi)
+                        cnt = hi_i - lo_i
+                        if cnt >= 2 and cnt == order:
+                            key = data[seg_begin:bend]
+                            q = uniq.get(key)
+                            if q is None:
+                                q = len(all_bytes)
+                                uniq[key] = q
+                                all_bytes.append(key)
+                            segments.append(
+                                (cid, order, seg_begin, bend, q)
+                            )
+
+    unit.all_texts = [b.decode() for b in all_bytes]
+    return unit
+
+
+def _found_arrays(found, nq: int, fw: float):
+    """(score, ds, k_of_q, lo_of_q, scores_cat_extra) from a RankedResults
+    batch, or from plain per-query lists (fallback envs)."""
+    from ..ops.pipeline import RankedResults
+
+    if isinstance(found, RankedResults):
+        ds = found.ds
+        fqv = found.fq
+        row_of = found.row_of
+        sb = found.sbounds
+        safe = np.maximum(row_of, 0)
+        k_of_q = np.where(row_of >= 0, sb[safe + 1] - sb[safe], 0).astype(
+            np.int64
+        )
+        lo_of_q = np.where(row_of >= 0, sb[safe], 0).astype(np.int64)
+        if found.overrides:
+            # pre-resolved / expandable-variant inputs (rare): patch their
+            # object scores into an extra region behind the arrays
+            extra_ds: List[float] = []
+            extra_fq: List[float] = []
+            base = len(ds)
+            for q, lst in found.overrides.items():
+                if not 0 <= q < nq:
+                    continue
+                k_of_q[q] = len(lst)
+                lo_of_q[q] = base + len(extra_ds)
+                extra_ds.extend(r.dist_score for r in lst)
+                extra_fq.extend(r.freq_score for r in lst)
+            if extra_ds:
+                ds = np.concatenate([ds, np.asarray(extra_ds, np.float64)])
+                fqv = np.concatenate([fqv, np.asarray(extra_fq, np.float64)])
+        if fw > 0.0:
+            score = (ds + fw * fqv) / (1.0 + fw)
+        else:
+            score = ds.astype(np.float64, copy=False)
+        return score, ds, k_of_q, lo_of_q
+
+    # generic: flatten per-query object lists (also covers override rows)
+    k_of_q = np.fromiter(
+        (len(found[q]) for q in range(nq)), np.int64, count=nq
+    )
+    lo_of_q = np.zeros(nq, np.int64)
+    np.cumsum(k_of_q[:-1], out=lo_of_q[1:])
+    tot = int(k_of_q.sum())
+    ds = np.empty(tot, np.float64)
+    fqv = np.empty(tot, np.float64)
+    pos = 0
+    for q in range(nq):
+        for r in found[q]:
+            ds[pos] = r.dist_score
+            fqv[pos] = r.freq_score
+            pos += 1
+    score = ds if fw <= 0.0 else (ds + fw * fqv) / (1.0 + fw)
+    return score, ds, k_of_q, lo_of_q
+
+
+def consolidate_unit(
+    unit: FastUnit, found, params, consolidate: bool
+) -> List[List[Match]]:
+    """Attach + redundancy filter + lockstep Viterbi + emit, all flat.
+
+    ``consolidate`` mirrors the object path's gate (max_ngram > 1, LM
+    present, or context rules — here necessarily the max_ngram case).
+    """
+    fw = params.freq_weight
+    nq = len(unit.all_texts)
+    score, ds_all, k_of_q, lo_of_q = _found_arrays(found, nq, fw)
+
+    if unit.segments:
+        s_chain, s_order, s_begin, s_end, s_q = (
+            np.asarray(col, np.int64) for col in zip(*unit.segments)
+        )
+    else:
+        s_chain = s_order = s_begin = s_end = s_q = np.zeros(0, np.int64)
+    nseg = len(s_chain)
+    nchain = len(unit.chain_text)
+    chain_blo = np.asarray(unit.chain_blo, np.int64) if nchain else np.zeros(0, np.int64)
+    chain_end = np.asarray(unit.chain_end, np.int64) if nchain else np.zeros(0, np.int64)
+    chain_bhi_arr = np.asarray(unit.chain_bhi, np.int64) if nchain else np.zeros(0, np.int64)
+
+    # per-survivor-set predicates for the redundancy filter
+    k_seg = k_of_q[s_q] if nseg else np.zeros(0, np.int64)
+    lo_seg = lo_of_q[s_q] if nseg else np.zeros(0, np.int64)
+    n_sv = len(ds_all)
+    if n_sv:
+        perfect_seg = (k_seg > 0) & (
+            ds_all[np.minimum(lo_seg, n_sv - 1)] >= 1.0
+        )
+    else:
+        perfect_seg = np.zeros(nseg, bool)
+
+    # ---- attach + redundancy (vectorized per text) ----
+    # a higher-order segment keeps its lookup only if some covered unigram
+    # is missing or imperfect (search.rs:317-336); unigram spans per text
+    # are ascending in both begin and end, so the covered set is a slice
+    attached = np.ones(nseg, bool)
+    nb_local = np.zeros(nseg, np.int64)
+    pv_state = np.zeros(nseg, np.int64)  # prevstate (0 = chain start)
+    arc_ok = np.zeros(nseg, bool)
+    for ti in range(len(unit.texts)):
+        clo, chi = unit.text_chains[ti]
+        if clo == chi:
+            continue
+        sl, sh = (
+            int(np.searchsorted(s_chain, clo)),
+            int(np.searchsorted(s_chain, chi)),
+        )
+        if sl == sh:
+            continue
+        seg_sl = slice(sl, sh)
+        t_begin = s_begin[seg_sl]
+        t_end = s_end[seg_sl]
+        t_order = s_order[seg_sl]
+        uni = t_order == 1
+        ub = t_begin[uni]
+        ue = t_end[uni]
+        # unigram arrays are batch-major ascending, but order-major storage
+        # interleaves per batch; re-sort unigrams by begin for the slices
+        us = np.argsort(ub, kind="stable")
+        ub = ub[us]
+        ue = ue[us]
+        uperf = perfect_seg[seg_sl][uni][us]
+        pp = np.zeros(len(ub) + 1, np.int64)
+        np.cumsum(uperf, out=pp[1:])
+        hi_order = ~uni
+        if hi_order.any():
+            cb2 = t_begin[hi_order]
+            ce2 = t_end[hi_order]
+            lo_r = np.searchsorted(ub, cb2, side="left")
+            hi_r = np.searchsorted(ue, ce2, side="right")
+            cov = np.maximum(hi_r - lo_r, 0)
+            redundant = (pp[np.maximum(hi_r, lo_r)] - pp[lo_r]) == cov
+            att = attached[seg_sl]
+            att[hi_order] = ~redundant
+            attached[seg_sl] = att
+
+        # boundary resolution: next boundary starts at seg end, previous
+        # boundary ends at seg begin, both restricted to the chain's slice
+        bb = np.asarray(unit.bb[ti], np.int64)
+        be = np.asarray(unit.be[ti], np.int64)
+        blo_seg = chain_blo[s_chain[seg_sl]]
+        bhi_seg = chain_bhi_arr[s_chain[seg_sl]]
+        nbi = np.searchsorted(bb, t_end)
+        nb_valid = (
+            (nbi < len(bb)) & (nbi >= blo_seg) & (nbi < bhi_seg)
+        )
+        nb_valid &= np.where(nb_valid, bb[np.minimum(nbi, len(bb) - 1)], -1) == t_end
+        pbi = np.searchsorted(be, t_begin)
+        pb_valid = (pbi < len(be)) & (pbi >= blo_seg) & (pbi < bhi_seg)
+        pb_valid &= np.where(pb_valid, be[np.minimum(pbi, len(be) - 1)], -1) == t_begin
+        nb_loc = nbi - blo_seg
+        pb_loc = pbi - blo_seg
+        nb_local[seg_sl] = np.where(nb_valid, nb_loc, -1)
+        pv_state[seg_sl] = np.where(pb_valid, pb_loc + 1, 0)
+        arc_ok[seg_sl] = nb_valid
+    n_span = np.where(
+        pv_state > 0, nb_local + 1 - pv_state, nb_local + 1
+    )
+
+    k_att = np.where(attached, k_seg, 0)
+    var_mask = arc_ok & (k_att > 0)
+    oov_mask = arc_ok & (k_att == 0) & (n_span == 1)
+
+    # output materialization: bypass RankedResults.__getitem__ (its per-call
+    # span/cache machinery costs ~3x the object construction) with one bulk
+    # numpy->python conversion and direct list slicing
+    found_cache: Dict[int, list] = {}
+    from ..ops.pipeline import RankedResults
+    from ..types import VariantResult
+
+    if isinstance(found, RankedResults):
+        vid_l = found.vid.tolist()
+        ds_l = found.ds.tolist()
+        fq_l = found.fq.tolist()
+        sb_l = found.sbounds.tolist()
+        row_l = found.row_of.tolist()
+        f_over = found.overrides
+
+        def variants_of(q: int):
+            got = found_cache.get(q)
+            if got is not None:
+                return got
+            res = f_over.get(q)
+            if res is None:
+                row = row_l[q]
+                if row < 0:
+                    res = []
+                else:
+                    lo2 = sb_l[row]
+                    hi2 = sb_l[row + 1]
+                    res = [
+                        VariantResult(v, d, f, None)
+                        for v, d, f in zip(
+                            vid_l[lo2:hi2], ds_l[lo2:hi2], fq_l[lo2:hi2]
+                        )
+                    ]
+            found_cache[q] = res
+            return res
+    else:
+
+        def variants_of(q: int):
+            got = found_cache.get(q)
+            if got is None:
+                got = found[q]
+                found_cache[q] = got
+            return got
+
+    attached_l = attached.tolist()
+    segs = unit.segments
+    chain_text = unit.chain_text
+    bytetexts = unit.bytetexts
+
+    def make_match(si: int, selected) -> Match:
+        cid, order, sb, se, q = segs[si]
+        m = Match(
+            text=bytetexts[chain_text[cid]][sb:se].decode(),
+            offset=Offset(sb, se),
+            n=order,
+            qidx=q if attached_l[si] else None,
+        )
+        if attached_l[si]:
+            m.variants = variants_of(q)
+        m.selected = selected
+        return m
+
+    if not consolidate:
+        results: List[List[Match]] = []
+        for ti, text in enumerate(unit.texts):
+            clo, chi = unit.text_chains[ti]
+            sl = int(np.searchsorted(s_chain, clo))
+            sh = int(np.searchsorted(s_chain, chi))
+            matches = [make_match(si, 0) for si in range(sl, sh)]
+            if params.unicodeoffsets:
+                matches = remap_offsets_to_unicodepoints(text, matches)
+            results.append(matches)
+        return results
+
+    # ---- arc expansion (creation order = segment order, eps arcs last) ----
+    group_mask = var_mask | oov_mask
+    g_idx = np.nonzero(group_mask)[0]
+    g_k = np.where(var_mask[g_idx], k_att[g_idx], 1)
+    g_oov = oov_mask[g_idx]
+    scores_cat = np.concatenate([score, np.zeros(1)])
+    sentinel = len(score)
+    g_lo = np.where(g_oov, sentinel, lo_seg[g_idx])
+    gk = g_k.astype(np.int64)
+    tot = int(gk.sum())
+    offs = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(gk) - gk, gk)
+    a_chain = np.repeat(s_chain[g_idx], gk)
+    a_src = np.repeat(pv_state[g_idx], gk)
+    a_tgt = np.repeat(nb_local[g_idx] + 1, gk)
+    a_cost = (
+        np.repeat(n_span[g_idx].astype(np.float64) + 1.0, gk)
+        - scores_cat[np.repeat(g_lo, gk) + offs]
+    )
+    a_seg = np.repeat(g_idx, gk)
+    a_vidx = np.where(np.repeat(g_oov, gk), -1, offs)
+    narcs = np.bincount(a_chain, minlength=nchain) if tot else np.zeros(
+        nchain, np.int64
+    )
+    # epsilon failsafe arcs (lib.rs:2265-2276), chain-major
+    nstates_c = (
+        np.asarray(unit.chain_bhi, np.int64) - chain_blo + 1
+        if nchain
+        else np.zeros(0, np.int64)
+    )
+    e_cnt = nstates_c - 1
+    e_tot = int(e_cnt.sum())
+    e_chain = np.repeat(np.arange(nchain, dtype=np.int64), e_cnt)
+    e_local = (
+        np.arange(e_tot, dtype=np.int64)
+        - np.repeat(np.cumsum(e_cnt) - e_cnt, e_cnt)
+    )  # boundary index i within the chain
+    e_src = np.where(e_local == 0, 0, e_local)
+    e_tgt = e_local + 1
+    a_chain = np.concatenate([a_chain, e_chain])
+    a_src = np.concatenate([a_src, e_src])
+    a_tgt = np.concatenate([a_tgt, e_tgt])
+    a_cost = np.concatenate([a_cost, np.full(e_tot, 100.0)])
+    a_seg = np.concatenate([a_seg, np.full(e_tot, -1, np.int64)])
+    a_vidx = np.concatenate([a_vidx, np.full(e_tot, -2, np.int64)])
+    a_serial = np.arange(len(a_chain), dtype=np.int64)
+
+    # ---- lockstep Viterbi over all chains ----
+    smax = int(nstates_c.max(initial=1))
+    v = np.full((nchain, smax), np.inf)
+    v[:, 0] = 0.0
+    back = np.full((nchain, smax), -1, dtype=np.int64)
+    bytgt = np.argsort(a_tgt, kind="stable")
+    st_tgt = a_tgt[bytgt]
+    starts = np.searchsorted(st_tgt, np.arange(smax + 1))
+    st_chain = a_chain[bytgt]
+    st_src = a_src[bytgt]
+    st_cost = a_cost[bytgt]
+    st_serial = a_serial[bytgt]
+    for t in range(1, smax):
+        lo_, hi_ = int(starts[t]), int(starts[t + 1])
+        if lo_ == hi_:
+            continue
+        ch = st_chain[lo_:hi_]
+        src = st_src[lo_:hi_]
+        cand = v[ch, src] + st_cost[lo_:hi_]
+        # first strict minimum in in_arcs order == min by (cost, src,
+        # creation serial), matching VariantModel._best_path
+        order = np.lexsort((st_serial[lo_:hi_], src, cand, ch))
+        chs = ch[order]
+        firsts = np.ones(chs.size, bool)
+        firsts[1:] = chs[1:] != chs[:-1]
+        sel = order[firsts]
+        win = ch[sel]
+        v[win, t] = cand[sel]
+        back[win, t] = st_serial[lo_:hi_][sel]
+
+    # ---- final states + lockstep backtrack ----
+    # finals: boundaries whose begin or end equals the batch end; the object
+    # path takes min((cost, state)) over them
+    best_state = np.zeros(nchain, np.int64)
+    best_cost = np.full(nchain, np.inf)
+    for cid in range(nchain):
+        ti = unit.chain_text[cid]
+        bb = unit.bb[ti]
+        be = unit.be[ti]
+        bend = int(chain_end[cid])
+        blo, bhi = int(chain_blo[cid]), unit.chain_bhi[cid]
+        bc, bs = np.inf, -1
+        for i in range(blo, bhi):
+            if bb[i] == bend or be[i] == bend:
+                s = i - blo + 1
+                c = v[cid, s]
+                if c < bc:
+                    bc, bs = c, s
+        best_state[cid] = bs
+        best_cost[cid] = bc
+
+    dp_chain = (narcs > 0) & (best_state > 0) & np.isfinite(best_cost)
+    # collect (round, chain, arc) rows; round 0 is the LAST arc of the path
+    rc_chain: List[np.ndarray] = []
+    rc_aid: List[np.ndarray] = []
+    rc_round: List[np.ndarray] = []
+    act = np.nonzero(dp_chain)[0]
+    state = best_state[act]
+    rnd = 0
+    while len(act):
+        aid = back[act, state]
+        rc_chain.append(act)
+        rc_aid.append(aid)
+        rc_round.append(np.full(len(act), rnd, np.int64))
+        state = a_src[aid]
+        keep = state > 0
+        act = act[keep]
+        state = state[keep]
+        rnd += 1
+    out_by_chain: List[List[Match]] = [[] for _ in range(nchain)]
+    if rc_chain:
+        pc = np.concatenate(rc_chain)
+        pa = np.concatenate(rc_aid)
+        pr = np.concatenate(rc_round)
+        keep = a_vidx[pa] != -2  # drop epsilon arcs
+        pc, pa, pr = pc[keep], pa[keep], pr[keep]
+        # forward order per chain = descending round
+        order = np.lexsort((-pr, pc))
+        for cid, aid in zip(pc[order].tolist(), pa[order].tolist()):
+            vx = int(a_vidx[aid])
+            out_by_chain[cid].append(
+                make_match(int(a_seg[aid]), vx if vx >= 0 else None)
+            )
+
+    # zero-arc chains: the object path returns the raw match list untouched
+    # (most_likely_sequence early-out) — reconstruct it, selected unset
+    for cid in np.nonzero(~dp_chain)[0].tolist():
+        if narcs[cid] > 0:
+            continue  # unreachable final (cannot happen: eps chain)
+        sl = int(np.searchsorted(s_chain, cid))
+        sh = int(np.searchsorted(s_chain, cid + 1))
+        out_by_chain[cid] = [make_match(si, None) for si in range(sl, sh)]
+
+    results = []
+    for ti, text in enumerate(unit.texts):
+        clo, chi = unit.text_chains[ti]
+        matches: List[Match] = []
+        for cid in range(clo, chi):
+            matches.extend(out_by_chain[cid])
+        if params.unicodeoffsets:
+            matches = remap_offsets_to_unicodepoints(text, matches)
+        results.append(matches)
+    return results

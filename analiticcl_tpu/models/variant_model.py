@@ -1489,44 +1489,89 @@ class VariantModel:
             self._device = get_device_pipeline(self)
         pipe = self._device
         # target one large batch bucket per unit; the token-based estimate
-        # (~1.45 unique segments per token at max_ngram 2, measured on
-        # running text after dedup) only controls aggregation, never
-        # correctness — underestimates simply land in a larger batch bucket
-        target = min(4096, pipe.max_B)
-        est_factor = {1: 1.0, 2: 1.45}.get(min(params.max_ngram, 3), 2.2)
+        # (unique segments per token after dedup, workload-dependent) only
+        # controls aggregation, never correctness — underestimates simply
+        # land in a larger batch bucket. The factor self-calibrates from
+        # each prepared unit's actual dedup ratio.
+        target = min(int(pipe.max_B * 0.95), 7800)
+        est_factor = {1: 1.0, 2: 1.6}.get(min(params.max_ngram, 3), 2.4)
         pending = []  # submitted units
         buf: List[str] = []  # texts accumulated for the next unit
-        buf_est = 0
+        buf_tokens = 0
 
-        def submit_unit(unit_texts):
+        # the array-native unit pipeline applies exactly when the decode
+        # reduces to argmin path cost (same gate as _fam_fast_ok)
+        fast_applicable = (
+            getattr(self, "fast_consolidate", True)
+            and self.debug < 3
+            and not self.context_rules
+            and not (self.have_lm and params.lm_weight > 0)
+        )
+        consolidate = (
+            params.max_ngram > 1 or self.have_lm or bool(self.context_rules)
+        )
+
+        def submit_unit(unit_texts, unit_tokens):
+            nonlocal est_factor
+            all_texts = None
+            if fast_applicable:
+                from . import search_fast
+
+                unit = search_fast.prepare_unit(unit_texts, params.max_ngram)
+                if unit is not None:
+                    all_texts = unit.all_texts
+                    if unit_tokens:
+                        est_factor = 0.5 * est_factor + 0.5 * (
+                            len(all_texts) / unit_tokens
+                        )
+                    if all_texts and len(all_texts) <= pipe.max_B:
+                        st = pipe.submit(all_texts, params)
+                        st["want_ranked"] = True
+                        return ("arr", unit, None, st, None)
+                    fb = (
+                        self.find_variants_batch(all_texts, params)
+                        if all_texts
+                        else []
+                    )
+                    return ("arr", unit, None, None, fb)
             preps, uniq, all_texts = self._fam_prepare(unit_texts, params)
+            if unit_tokens:
+                est_factor = 0.5 * est_factor + 0.5 * (
+                    len(all_texts) / unit_tokens
+                )
             if all_texts and len(all_texts) <= pipe.max_B:
                 st = pipe.submit(all_texts, params)
                 st["want_ranked"] = True  # array-native consolidation
-                return (len(unit_texts), preps, uniq, st, None)
+                return ("obj", preps, uniq, st, None)
             fb = (
                 self.find_variants_batch(all_texts, params)
                 if all_texts
                 else []
             )
-            return (len(unit_texts), preps, uniq, None, fb)
+            return ("obj", preps, uniq, None, fb)
 
         def flush_one():
-            _n, preps, uniq, st, fb = pending.pop(0)
+            kind, preps, uniq, st, fb = pending.pop(0)
             found = pipe.collect(st) if st is not None else fb
+            if kind == "arr":
+                from . import search_fast
+
+                return search_fast.consolidate_unit(
+                    preps, found, params, consolidate
+                )
             return self._fam_consolidate(preps, uniq, found, params)
 
         for text in texts:
-            est = len(text.split()) * est_factor
-            if buf and buf_est + est > target:
-                pending.append(submit_unit(buf))
-                buf, buf_est = [], 0
+            ntok = len(text.split())
+            if buf and (buf_tokens + ntok) * est_factor > target:
+                pending.append(submit_unit(buf, buf_tokens))
+                buf, buf_tokens = [], 0
                 if len(pending) > depth:
                     yield from flush_one()
             buf.append(text)
-            buf_est += est
+            buf_tokens += ntok
         if buf:
-            pending.append(submit_unit(buf))
+            pending.append(submit_unit(buf, buf_tokens))
         while pending:
             yield from flush_one()
 

@@ -18,7 +18,7 @@ from .types import VariantResult, VocabId
 TRANSITION_SMOOTHING_LOGPROB = -13.815510557964274
 
 
-@dataclass
+@dataclass(slots=True)
 class Offset:
     """Byte offset pair (search.rs:8-38)."""
 
@@ -31,7 +31,7 @@ class Offset:
         assert self.begin is not None and self.end is not None
 
 
-@dataclass
+@dataclass(slots=True)
 class Match:
     """A match between the input text and the lexicon (search.rs:42-121)."""
 
