@@ -1457,6 +1457,15 @@ class VariantModel:
                     file=sys.stderr,
                 )
             return [[] for _ in texts]
+        backend = self._backend
+        if backend == "auto":
+            backend = (
+                "device" if (self.index and self.index.size >= 64) else "oracle"
+            )
+        if backend == "device":
+            # the stream path aggregates, pipelines, and takes the
+            # array-native consolidation; identical results
+            return list(self.find_all_matches_stream(texts, params))
         preps, uniq, all_texts = self._fam_prepare(texts, params)
         found = (
             self.find_variants_batch(all_texts, params) if all_texts else []

@@ -501,3 +501,50 @@ def test_fast_consolidation_equals_object_path():
     model.fast_consolidate = True
     fast = signature(list(model.find_all_matches_stream(texts, params)))
     assert fast == legacy
+
+
+def test_fast_consolidation_more_modes():
+    """Fast-path equivalence across more modes: max_ngram=3, unicode
+    offsets, non-ASCII fallback units, and the batch (non-stream) API."""
+    import random as _random
+
+    alphabet, _ = get_test_alphabet()
+    model = VariantModel.new_with_alphabet(alphabet, Weights(), 0)
+    words = [
+        "rites", "tiers", "tires", "tries", "tyres", "rides", "brides",
+        "dire", "bride", "to", "happy", "earth", "wide", "world", "again",
+    ]
+    for w in words:
+        model.add_to_vocabulary(w, None, VocabParams())
+    model.build()
+    model.set_backend("device")
+    rng = _random.Random(13)
+    texts = []
+    for _ in range(12):
+        n = rng.randrange(1, 7)
+        texts.append(" ".join(rng.choice(words) for _ in range(n)) + ".")
+    texts.append("naïve tires — rites")  # non-ASCII: unit falls back
+
+    def signature(outs):
+        return [
+            [
+                (
+                    m.text, m.offset.begin, m.offset.end, m.selected, m.n,
+                    None
+                    if m.variants is None
+                    else [(r.vocab_id, r.dist_score) for r in m.variants],
+                )
+                for m in out
+            ]
+            for out in outs
+        ]
+
+    for max_ngram, uoff in [(3, False), (2, True), (1, False)]:
+        params = dataclasses.replace(
+            get_test_searchparams(), max_ngram=max_ngram, unicodeoffsets=uoff
+        )
+        model.fast_consolidate = False
+        legacy = signature(model.find_all_matches_batch(texts, params))
+        model.fast_consolidate = True
+        fast = signature(model.find_all_matches_batch(texts, params))
+        assert fast == legacy, (max_ngram, uoff)
