@@ -48,12 +48,59 @@ class FastUnit:
     # per text: global chain id range [lo, hi)
     text_chains: List[Tuple[int, int]] = field(default_factory=list)
     # segments, global across the unit, text-major / batch-major /
-    # order-major: (chain, order, begin, end, q) tuples
+    # order-major: (chain, order, begin, end, q) tuples (python path) ...
     segments: List[Tuple[int, int, int, int, int]] = field(
         default_factory=list
     )
+    # ... or the same five columns as int64 arrays (native path)
+    seg_cols: Optional[Tuple[np.ndarray, ...]] = None
     # deduplicated lookup texts, first-appearance order
     all_texts: List[str] = field(default_factory=list)
+
+
+def _prepare_unit_native(
+    texts: Sequence[str], max_ngram: int
+) -> Optional[FastUnit]:
+    """FastUnit via the C++ segmentation core (ananorm_segment); None when
+    the native library is absent (the Python loop below is the oracle —
+    equivalence is pinned by tests/test_search.py)."""
+    from ..utils import native as _native
+
+    res = _native.segment_unit(texts, max_ngram)
+    if res is None:
+        return None
+    (
+        b_off, bb_all, be_all, c_off, c_begin, c_end, c_blo, c_bhi,
+        s_chain, s_order, s_begin, s_end, s_q, u_text, u_begin, u_end,
+    ) = res
+    n_texts = len(texts)
+    unit = FastUnit(
+        texts=texts,
+        bytetexts=[None] * n_texts,
+        bb=[None] * n_texts,
+        be=[None] * n_texts,
+    )
+    for ti in range(n_texts):
+        lo, hi = int(b_off[ti]), int(b_off[ti + 1])
+        unit.bb[ti] = bb_all[lo:hi]
+        unit.be[ti] = be_all[lo:hi]
+        unit.text_chains.append((int(c_off[ti]), int(c_off[ti + 1])))
+    unit.chain_begin = c_begin.tolist()
+    unit.chain_end = c_end.tolist()
+    unit.chain_blo = c_blo.tolist()
+    unit.chain_bhi = c_bhi.tolist()
+    unit.chain_text = np.repeat(
+        np.arange(n_texts), np.diff(c_off.astype(np.int64))
+    ).tolist()
+    unit.seg_cols = tuple(
+        a.astype(np.int64)
+        for a in (s_chain, s_order, s_begin, s_end, s_q)
+    )
+    unit.all_texts = [
+        texts[t][b:e]
+        for t, b, e in zip(u_text.tolist(), u_begin.tolist(), u_end.tolist())
+    ]
+    return unit
 
 
 def prepare_unit(texts: Sequence[str], max_ngram: int) -> Optional[FastUnit]:
@@ -67,6 +114,9 @@ def prepare_unit(texts: Sequence[str], max_ngram: int) -> Optional[FastUnit]:
     for t in texts:
         if t and not t.isascii():
             return None
+    native = _prepare_unit_native(texts, max_ngram)
+    if native is not None:
+        return native
     unit = FastUnit(
         texts=texts,
         bytetexts=[None] * len(texts),
@@ -236,7 +286,9 @@ def consolidate_unit(
     nq = len(unit.all_texts)
     score, ds_all, k_of_q, lo_of_q = _found_arrays(found, nq, fw)
 
-    if unit.segments:
+    if unit.seg_cols is not None:
+        s_chain, s_order, s_begin, s_end, s_q = unit.seg_cols
+    elif unit.segments:
         s_chain, s_order, s_begin, s_end, s_q = (
             np.asarray(col, np.int64) for col in zip(*unit.segments)
         )
@@ -376,14 +428,20 @@ def consolidate_unit(
             return got
 
     attached_l = attached.tolist()
-    segs = unit.segments
+    if unit.segments:
+        segs = unit.segments
+    else:  # native path: one bulk conversion for scalar access at emit
+        segs = list(
+            zip(*(c.tolist() for c in unit.seg_cols))
+        ) if unit.seg_cols is not None else []
     chain_text = unit.chain_text
-    bytetexts = unit.bytetexts
+    texts_l = unit.texts
 
     def make_match(si: int, selected) -> Match:
         cid, order, sb, se, q = segs[si]
         m = Match(
-            text=bytetexts[chain_text[cid]][sb:se].decode(),
+            # ASCII text (prepare gates on it): byte offsets == char offsets
+            text=texts_l[chain_text[cid]][sb:se],
             offset=Offset(sb, se),
             n=order,
             qidx=q if attached_l[si] else None,

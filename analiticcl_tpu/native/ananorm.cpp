@@ -14,7 +14,9 @@
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <string_view>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -900,6 +902,179 @@ extern "C" int64_t ananorm_rank_tail(
         }
     }
     return out_n;
+}
+
+// ---------------------------------------------------------------------------
+// Search-mode unit segmentation (the native core of
+// models/search_fast.prepare_unit; reference semantics search.rs:190-313 +
+// lib.rs:1817-1861).
+//
+// Input: the unit's texts as one ASCII byte blob with [n_texts+1] offsets
+// (the Python caller gates on str.isascii(), where is_alphabetic() reduces
+// to [A-Za-z]). Output: per-text boundary runs, hard-batch chains, ngram
+// segments with the trailing-segment internal-boundaries quirk, and the
+// deduplicated lookup-key table (first-appearance order) that the segments'
+// q column indexes. All offsets are text-local. Returns 0, or -1 when an
+// output cap would overflow (caller falls back to the Python path).
+extern "C" int64_t ananorm_segment(
+    const uint8_t* data, int32_t n_texts, const int64_t* text_off,
+    int32_t max_ngram,
+    int32_t* b_text_off,  // [n_texts+1] per-text boundary prefix counts
+    int32_t* bb, int32_t* be,  // [caps_b]
+    int32_t* c_text_off,  // [n_texts+1] per-text chain prefix counts
+    int32_t* c_begin, int32_t* c_end, int32_t* c_blo, int32_t* c_bhi,
+    int32_t* s_chain, int32_t* s_order, int32_t* s_begin, int32_t* s_end,
+    int32_t* s_q,
+    int32_t* u_text, int32_t* u_begin, int32_t* u_end,
+    int64_t caps_b, int64_t caps_c, int64_t caps_s, int64_t caps_u,
+    int64_t* out_counts  // [4]: nb, nc, ns, nu
+) {
+    if (n_texts < 0 || max_ngram < 1) return -1;
+    bool alpha[256];
+    for (int i = 0; i < 256; i++) {
+        alpha[i] = (i >= 'A' && i <= 'Z') || (i >= 'a' && i <= 'z');
+    }
+    int64_t nb_all = 0, nc_all = 0, ns_all = 0;
+    std::unordered_map<std::string_view, int32_t> uniq;
+    std::vector<std::pair<int32_t, std::pair<int32_t, int32_t>>> ukeys;
+    uniq.reserve(4096);
+
+    b_text_off[0] = 0;
+    c_text_off[0] = 0;
+    for (int32_t ti = 0; ti < n_texts; ti++) {
+        const uint8_t* t = data + text_off[ti];
+        int64_t n = text_off[ti + 1] - text_off[ti];
+        int64_t b_base = nb_all;  // this text's boundaries start here
+        if (n > 0) {
+            // boundary runs of non-alphabetic bytes + trailing empty
+            int64_t i = 0;
+            while (i < n) {
+                if (!alpha[t[i]]) {
+                    int64_t j = i + 1;
+                    while (j < n && !alpha[t[j]]) j++;
+                    if (nb_all >= caps_b) return -1;
+                    bb[nb_all] = (int32_t)i;
+                    be[nb_all] = (int32_t)j;
+                    nb_all++;
+                    i = j;
+                } else {
+                    i++;
+                }
+            }
+            if (nb_all == b_base || be[nb_all - 1] != (int32_t)n) {
+                if (nb_all >= caps_b) return -1;
+                bb[nb_all] = (int32_t)n;
+                be[nb_all] = (int32_t)n;
+                nb_all++;
+            }
+            int32_t nb_t = (int32_t)(nb_all - b_base);
+            const int32_t* tbb = bb + b_base;
+            const int32_t* tbe = be + b_base;
+
+            // hard-batch split (HARD = multi-byte run or final boundary)
+            int64_t c_base = nc_all;
+            {
+                int32_t begin = 0, begin_index = 0;
+                for (int32_t i2 = 0; i2 < nb_t; i2++) {
+                    if ((tbe[i2] - tbb[i2] > 1 || i2 == nb_t - 1) &&
+                        tbb[i2] != begin) {
+                        if (nc_all >= caps_c) return -1;
+                        c_begin[nc_all] = begin;
+                        c_end[nc_all] = tbb[i2];
+                        c_blo[nc_all] = begin_index;
+                        c_bhi[nc_all] = i2 + 1;
+                        nc_all++;
+                        begin = tbe[i2];
+                        begin_index = i2 + 1;
+                    }
+                }
+            }
+
+            // segments per chain, order-major within the chain
+            for (int64_t cid = c_base; cid < nc_all; cid++) {
+                int32_t bbegin = c_begin[cid], bend = c_end[cid];
+                int32_t blo = c_blo[cid], bhi = c_bhi[cid];
+                int32_t m_b = bhi - blo;
+                for (int32_t order = 1; order <= max_ngram; order++) {
+                    int32_t seg_begin = bbegin;
+                    int32_t i2 = 0;
+                    while (i2 + order - 1 < m_b) {
+                        int32_t bnd_begin = tbb[blo + i2 + order - 1];
+                        if (bnd_begin > bend) break;
+                        int32_t ln = bnd_begin - seg_begin;
+                        if (ln > 0 && !(ln == 1 && t[seg_begin] == ' ')) {
+                            std::string_view key(
+                                (const char*)t + seg_begin, (size_t)ln);
+                            auto it = uniq.find(key);
+                            int32_t q;
+                            if (it == uniq.end()) {
+                                q = (int32_t)ukeys.size();
+                                if (q >= caps_u) return -1;
+                                uniq.emplace(key, q);
+                                ukeys.push_back({ti, {seg_begin, bnd_begin}});
+                            } else {
+                                q = it->second;
+                            }
+                            if (ns_all >= caps_s) return -1;
+                            s_chain[ns_all] = (int32_t)cid;
+                            s_order[ns_all] = order;
+                            s_begin[ns_all] = seg_begin;
+                            s_end[ns_all] = bnd_begin;
+                            s_q[ns_all] = q;
+                            ns_all++;
+                        }
+                        seg_begin = tbe[blo + i2];
+                        i2++;
+                    }
+                    if (seg_begin < bend) {
+                        int32_t ln = bend - seg_begin;
+                        if (ln > 0 && !(ln == 1 && t[seg_begin] == ' ')) {
+                            // internal-boundaries quirk: contiguous hit
+                            // range; a single hit yields an empty slice
+                            const int32_t* lo_p = std::upper_bound(
+                                tbb + blo, tbb + bhi, seg_begin);
+                            const int32_t* hi_p = std::lower_bound(
+                                tbe + blo, tbe + bhi, bend);
+                            int32_t cnt = (int32_t)((hi_p - tbe) - (lo_p - tbb));
+                            if (cnt >= 2 && cnt == order) {
+                                std::string_view key(
+                                    (const char*)t + seg_begin, (size_t)ln);
+                                auto it = uniq.find(key);
+                                int32_t q;
+                                if (it == uniq.end()) {
+                                    q = (int32_t)ukeys.size();
+                                    if (q >= caps_u) return -1;
+                                    uniq.emplace(key, q);
+                                    ukeys.push_back({ti, {seg_begin, bend}});
+                                } else {
+                                    q = it->second;
+                                }
+                                if (ns_all >= caps_s) return -1;
+                                s_chain[ns_all] = (int32_t)cid;
+                                s_order[ns_all] = order;
+                                s_begin[ns_all] = seg_begin;
+                                s_end[ns_all] = bend;
+                                s_q[ns_all] = q;
+                                ns_all++;
+                            }
+                        }
+                    }
+                }
+            }
+        }
+        b_text_off[ti + 1] = (int32_t)nb_all;
+        c_text_off[ti + 1] = (int32_t)nc_all;
+    }
+    for (size_t u = 0; u < ukeys.size(); u++) {
+        u_text[u] = ukeys[u].first;
+        u_begin[u] = ukeys[u].second.first;
+        u_end[u] = ukeys[u].second.second;
+    }
+    out_counts[0] = nb_all;
+    out_counts[1] = nc_all;
+    out_counts[2] = ns_all;
+    out_counts[3] = (int64_t)ukeys.size();
+    return 0;
 }
 
 }  // extern "C"

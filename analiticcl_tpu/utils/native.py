@@ -220,6 +220,32 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),   # out_perm
             ctypes.POINTER(ctypes.c_int32),   # out_bounds
         ]
+        lib.ananorm_segment.restype = ctypes.c_int64
+        lib.ananorm_segment.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),  # data blob
+            ctypes.c_int32,                  # n_texts
+            ctypes.POINTER(ctypes.c_int64),  # text_off [n_texts+1]
+            ctypes.c_int32,                  # max_ngram
+            ctypes.POINTER(ctypes.c_int32),  # b_text_off
+            ctypes.POINTER(ctypes.c_int32),  # bb
+            ctypes.POINTER(ctypes.c_int32),  # be
+            ctypes.POINTER(ctypes.c_int32),  # c_text_off
+            ctypes.POINTER(ctypes.c_int32),  # c_begin
+            ctypes.POINTER(ctypes.c_int32),  # c_end
+            ctypes.POINTER(ctypes.c_int32),  # c_blo
+            ctypes.POINTER(ctypes.c_int32),  # c_bhi
+            ctypes.POINTER(ctypes.c_int32),  # s_chain
+            ctypes.POINTER(ctypes.c_int32),  # s_order
+            ctypes.POINTER(ctypes.c_int32),  # s_begin
+            ctypes.POINTER(ctypes.c_int32),  # s_end
+            ctypes.POINTER(ctypes.c_int32),  # s_q
+            ctypes.POINTER(ctypes.c_int32),  # u_text
+            ctypes.POINTER(ctypes.c_int32),  # u_begin
+            ctypes.POINTER(ctypes.c_int32),  # u_end
+            ctypes.c_int64, ctypes.c_int64,  # caps_b, caps_c
+            ctypes.c_int64, ctypes.c_int64,  # caps_s, caps_u
+            ctypes.POINTER(ctypes.c_int64),  # out_counts [4]
+        ]
         _lib = lib
         return _lib
 
@@ -307,6 +333,72 @@ def rank_tail_native(
     return (
         int(n), out_seg, out_vid, out_ds, out_fq, out_elig, out_perm,
         out_bounds,
+    )
+
+
+def segment_unit(texts, max_ngram: int):
+    """Native search-unit segmentation (ananorm_segment); None when the
+    library is absent or a cap overflows (caller uses the Python path).
+
+    Returns (per-text (bb, be) int32 arrays, per-text chain slices,
+    chain arrays (begin, end, blo, bhi), segment arrays (chain, order,
+    begin, end, q), unique-key arrays (text, begin, end)). Offsets are
+    text-local; texts must be ASCII (caller gates)."""
+    lib = _load()
+    if lib is None:
+        return None
+    n_texts = len(texts)
+    blobs = [t.encode() for t in texts]
+    text_off = np.zeros(n_texts + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in blobs], out=text_off[1:])
+    data = b"".join(blobs)
+    total = len(data)
+    caps_b = total + n_texts + 2
+    caps_c = caps_b
+    caps_s = caps_b * max_ngram + 16
+    caps_u = caps_s
+    buf = np.frombuffer(data, dtype=np.uint8) if total else np.zeros(
+        1, dtype=np.uint8
+    )
+    b_text_off = np.empty(n_texts + 1, dtype=np.int32)
+    bb = np.empty(caps_b, dtype=np.int32)
+    be = np.empty(caps_b, dtype=np.int32)
+    c_text_off = np.empty(n_texts + 1, dtype=np.int32)
+    c_begin = np.empty(caps_c, dtype=np.int32)
+    c_end = np.empty(caps_c, dtype=np.int32)
+    c_blo = np.empty(caps_c, dtype=np.int32)
+    c_bhi = np.empty(caps_c, dtype=np.int32)
+    s_chain = np.empty(caps_s, dtype=np.int32)
+    s_order = np.empty(caps_s, dtype=np.int32)
+    s_begin = np.empty(caps_s, dtype=np.int32)
+    s_end = np.empty(caps_s, dtype=np.int32)
+    s_q = np.empty(caps_s, dtype=np.int32)
+    u_text = np.empty(caps_u, dtype=np.int32)
+    u_begin = np.empty(caps_u, dtype=np.int32)
+    u_end = np.empty(caps_u, dtype=np.int32)
+    out_counts = np.zeros(4, dtype=np.int64)
+    i32 = ctypes.c_int32
+    rc = lib.ananorm_segment(
+        _ptr(buf, ctypes.c_uint8), n_texts, _ptr(text_off, ctypes.c_int64),
+        int(max_ngram),
+        _ptr(b_text_off, i32), _ptr(bb, i32), _ptr(be, i32),
+        _ptr(c_text_off, i32),
+        _ptr(c_begin, i32), _ptr(c_end, i32), _ptr(c_blo, i32),
+        _ptr(c_bhi, i32),
+        _ptr(s_chain, i32), _ptr(s_order, i32), _ptr(s_begin, i32),
+        _ptr(s_end, i32), _ptr(s_q, i32),
+        _ptr(u_text, i32), _ptr(u_begin, i32), _ptr(u_end, i32),
+        caps_b, caps_c, caps_s, caps_u,
+        _ptr(out_counts, ctypes.c_int64),
+    )
+    if rc != 0:
+        return None
+    nb, nc, ns, nu = (int(x) for x in out_counts)
+    return (
+        b_text_off, bb[:nb], be[:nb],
+        c_text_off, c_begin[:nc], c_end[:nc], c_blo[:nc], c_bhi[:nc],
+        s_chain[:ns], s_order[:ns], s_begin[:ns], s_end[:ns], s_q[:ns],
+        u_text[:nu], u_begin[:nu], u_end[:nu],
     )
 
 

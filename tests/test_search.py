@@ -548,3 +548,63 @@ def test_fast_consolidation_more_modes():
         model.fast_consolidate = True
         fast = signature(model.find_all_matches_batch(texts, params))
         assert fast == legacy, (max_ngram, uoff)
+
+
+def test_native_segmentation_equals_python():
+    """ananorm_segment (C++) vs the Python prepare loop: boundaries,
+    chains, segments, dedup table — field-for-field on randomized ASCII."""
+    import random as _random
+
+    import numpy as np
+
+    from analiticcl_tpu.models import search_fast
+    from analiticcl_tpu.utils import native as _native
+
+    if not _native.available():
+        import pytest as _pytest
+
+        _pytest.skip("native library unavailable")
+
+    rng = _random.Random(23)
+    chars = "abcdefXYZ .,-'_!?\n\t0123456789\"();:  "
+    cases = []
+    for _ in range(40):
+        n = rng.randrange(0, 120)
+        cases.append("".join(rng.choice(chars) for _ in range(n)))
+    cases += ["", " ", "a", "word", "two words.", "a.b.c d!  e", "...", "x" * 50]
+
+    for max_ngram in (1, 2, 3):
+        texts = [rng.choice(cases) for _ in range(9)]
+        nat = search_fast._prepare_unit_native(texts, max_ngram)
+        assert nat is not None
+        # force the python loop
+        import unittest.mock as mock
+
+        with mock.patch.object(
+            search_fast, "_prepare_unit_native", lambda *a: None
+        ):
+            py = search_fast.prepare_unit(texts, max_ngram)
+        assert py is not None
+        assert nat.all_texts == py.all_texts
+        assert nat.text_chains == py.text_chains
+        assert nat.chain_begin == py.chain_begin
+        assert nat.chain_end == py.chain_end
+        assert nat.chain_blo == py.chain_blo
+        assert nat.chain_bhi == py.chain_bhi
+        assert nat.chain_text == py.chain_text
+        for ti in range(len(texts)):
+            nb = nat.bb[ti]
+            pb = py.bb[ti]
+            if nb is None or pb is None:
+                assert (nb is None or len(nb) == 0) == (
+                    pb is None or len(pb) == 0
+                )
+                continue
+            assert list(nb) == list(pb)
+            assert list(nat.be[ti]) == list(py.be[ti])
+        nat_segs = (
+            list(zip(*(c.tolist() for c in nat.seg_cols)))
+            if nat.seg_cols is not None
+            else nat.segments
+        )
+        assert nat_segs == py.segments
