@@ -2449,26 +2449,69 @@ class VariantModel:
         vocabparams = VocabParams().with_vocab_type(VocabType.TRANSPARENT).with_freq_handling(
             FrequencyHandling.MAX
         )
-        all_variants: List[List[Tuple[str, VariantResult]]] = []
-        if strict:
+
+        def triples():
+            """(input, ref vocab id, dist score) stream; strict mode reads
+            survivor arrays directly (no VariantResult objects at all)."""
             inputs_list = list(inputs)
-            all_variants = [
-                [(inputstr, r) for r in results]
-                for inputstr, results in zip(
-                    inputs_list, self.find_variants_stream(inputs_list, params)
+            if not strict:
+                # one combined lookup batch across the whole corpus slice
+                # instead of a device round trip per line (lib.rs:1040-1056)
+                for matches in self.find_all_matches_batch(
+                    inputs_list, params
+                ):
+                    for m in matches:
+                        solution = m.solution()
+                        if solution is not None:
+                            yield m.text, solution.vocab_id, solution.dist_score
+                return
+            backend = self._backend
+            if backend == "auto":
+                backend = (
+                    "device"
+                    if (self.index and self.index.size >= 64)
+                    else "oracle"
                 )
+            if backend != "device":
+                for inputstr in inputs_list:
+                    for r in self.find_variants(inputstr, params):
+                        yield inputstr, r.vocab_id, r.dist_score
+                return
+            from ..ops.pipeline import RankedResults, get_device_pipeline
+
+            if self._device is None:
+                self._device = get_device_pipeline(self)
+            pipe = self._device
+            bs = min(4096, pipe.max_B)
+            batches = [
+                inputs_list[s : s + bs]
+                for s in range(0, len(inputs_list), bs)
             ]
-        else:
-            # one combined lookup batch across the whole corpus slice instead
-            # of a device round trip per line (lib.rs:1040-1056 equivalent)
-            inputs_list = list(inputs)
-            for matches in self.find_all_matches_batch(inputs_list, params):
-                line_out: List[Tuple[str, VariantResult]] = []
-                for m in matches:
-                    solution = m.solution()
-                    if solution is not None:
-                        line_out.append((m.text, solution))
-                all_variants.append(line_out)
+            for batch, rr in zip(
+                batches,
+                pipe.find_variants_stream(batches, params, ranked=True),
+            ):
+                if isinstance(rr, RankedResults):
+                    vidl = rr.vid.tolist()
+                    dsl = rr.ds.tolist()
+                    sbl = rr.sbounds.tolist()
+                    rowl = rr.row_of.tolist()
+                    ov = rr.overrides
+                    for i, inputstr in enumerate(batch):
+                        o = ov.get(i)
+                        if o is not None:
+                            for r in o:
+                                yield inputstr, r.vocab_id, r.dist_score
+                            continue
+                        row = rowl[i]
+                        if row < 0:
+                            continue
+                        for k in range(sbl[row], sbl[row + 1]):
+                            yield inputstr, vidl[k], dsl[k]
+                else:  # eager lists (fallback paths)
+                    for inputstr, res in zip(batch, rr):
+                        for r in res:
+                            yield inputstr, r.vocab_id, r.dist_score
 
         # Merge phase: same per-item semantics as the reference's serial
         # merge (lib.rs:1098-1126) — first-mention-wins links, frequency
@@ -2484,16 +2527,13 @@ class VariantModel:
         var_of: Dict[int, set] = {}  # variant id -> {vocab ids in VARIANT_OF checks}
         REF_FOR = VariantReferenceKind.REFERENCE_FOR
         VAR_OF = VariantReferenceKind.VARIANT_OF
-        for inputstr, result in (
-            item for sublist in all_variants for item in sublist
-        ):
+        for inputstr, ref_id, dist_score in triples():
             vocab_id = encoder_get(inputstr)
             if vocab_id is not None:
                 if prev != inputstr:
                     decoder[vocab_id].frequency += 1
             else:
                 vocab_id = self.add_to_vocabulary(inputstr, 1, vocabparams)
-            ref_id = result.vocab_id
             if ref_id != vocab_id:
                 # inlined add_variant_by_id with cached dedup sets
                 # (add_variant_by_id returns True whenever the ids differ)
@@ -2508,7 +2548,7 @@ class VariantModel:
                         }
                         ref_for[ref_id] = seen
                     if vocab_id not in seen:
-                        ref = VariantReference(REF_FOR, vocab_id, result.dist_score)
+                        ref = VariantReference(REF_FOR, vocab_id, dist_score)
                         if refitem.variants is None:
                             refitem.variants = [ref]
                         else:
@@ -2528,7 +2568,7 @@ class VariantModel:
                     # against the VARIANT id, not the reference id
                     # (lib.rs:497-508); mirrored by add_variant_by_id
                     if vocab_id not in seen:
-                        ref = VariantReference(VAR_OF, ref_id, result.dist_score)
+                        ref = VariantReference(VAR_OF, ref_id, dist_score)
                         if varitem.variants is None:
                             varitem.variants = [ref]
                         else:

@@ -1102,7 +1102,10 @@ class DevicePipeline:
             return out
         return self.collect(self.submit(inputs, params))
 
-    def find_variants_stream(self, batches, params: SearchParameters, depth: int = 2):
+    def find_variants_stream(
+        self, batches, params: SearchParameters, depth: int = 2,
+        ranked: bool = False,
+    ):
         """Pipelined execution over an iterable of input batches.
 
         Keeps up to ``depth`` batches in flight: the device works ahead while
@@ -1110,11 +1113,20 @@ class DevicePipeline:
         executor serializes compute and result transfers on one stream) depth
         2 measures ~5-10% faster than classic double buffering; deeper queues
         add latency without throughput. Yields one result list per input
-        batch, in order.
+        batch, in order. With ``ranked=True``, batches that complete through
+        the native tail yield :class:`RankedResults` (flat survivor arrays)
+        instead of eager object lists; callers must handle both.
         """
         pending: List = []
+
+        def _submit(batch):
+            st = self.submit(batch, params)
+            if ranked:
+                st["want_ranked"] = True
+            return st
+
         for batch in batches:
-            pending.append(self.submit(batch, params))
+            pending.append(_submit(batch))
             if len(pending) > depth:
                 yield self.collect(pending.pop(0))
         while pending:
