@@ -345,3 +345,46 @@ def test_searchsorted_radix_matches_numpy():
         )
         want = np.searchsorted(vals, targets, side="left")
         np.testing.assert_array_equal(got, want, err_msg=f"n={n}")
+
+
+def test_native_rank_tail_equals_numpy_tail(eng_model):
+    """The C++ one-call ranking tail (ananorm_rank_tail) vs the numpy
+    rank_fast_batch path, bit-equal on the same device batches."""
+    import analiticcl_tpu.ops.pipeline as pl
+    from analiticcl_tpu.utils import native as _native
+
+    if not _native.available():
+        import pytest as _pytest
+
+        _pytest.skip("native library unavailable")
+    random.seed(123)
+    words = [
+        eng_model.decoder[i].text
+        for i in range(3, len(eng_model.decoder), 41)
+    ]
+    queries = []
+    for w in words[:300]:
+        lst = list(w)
+        if len(lst) > 2:
+            i = random.randrange(len(lst) - 1)
+            lst[i], lst[i + 1] = lst[i + 1], lst[i]
+        queries.append("".join(lst))
+    for fw in (0.0, 1.0):
+        params = SearchParameters(
+            max_anagram_distance=DistanceThreshold.absolute(3),
+            max_edit_distance=DistanceThreshold.absolute(2),
+            max_matches=10,
+            freq_weight=fw,
+        )
+        eng_model.set_backend("device")
+        got = eng_model.find_variants_batch(queries, params)
+        saved = pl._rank_tail_native
+        pl._rank_tail_native = None
+        try:
+            want = eng_model.find_variants_batch(queries, params)
+        finally:
+            pl._rank_tail_native = saved
+        for q, w, g in zip(queries, want, got):
+            assert _result_tuples(eng_model, g) == _result_tuples(
+                eng_model, w
+            ), q
