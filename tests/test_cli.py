@@ -169,3 +169,46 @@ def test_fmt_float_rust_display_semantics():
         assert got == want, (x, got, want)
         # round-trip: the printed form must parse back to the same float
         assert float(got) == x
+
+
+def test_search_per_line_and_linebreaks(tmp_path):
+    """--per-line isolates each line in its own batch; the default folds
+    linebreaks to spaces while --retain-linebreaks keeps them
+    (reference bin:559-636 semantics)."""
+    import contextlib
+    import io
+    import sys as _sys
+
+    from analiticcl_tpu.cli import main as cli_main
+
+    from cli_golden_cases import REF_ALPHA, small_lexicon
+
+    lexicon = small_lexicon(str(tmp_path))
+    common = [
+        "search", "-a", REF_ALPHA, "-l", lexicon, "--backend", "oracle",
+        "-n", "2", "-N", "1",
+    ]
+    text = "separatly\nhuis\n"
+
+    def run(argv):
+        buf = io.StringIO()
+        old = _sys.stdin
+        _sys.stdin = io.StringIO(text)
+        try:
+            with contextlib.redirect_stdout(buf):
+                rc = cli_main(argv)
+        finally:
+            _sys.stdin = old
+        assert rc == 0
+        return buf.getvalue()
+
+    folded = run(common)
+    per_line = run(common + ["--per-line"])
+    retained = run(common + ["--retain-linebreaks"])
+    # all three must find both words; outputs stay line-per-match TSV
+    for out in (folded, per_line, retained):
+        assert "separatly" in out and "huis" in out
+    # folded batch: global offsets (linebreak folded to a space keeps
+    # byte positions); per-line: offsets restart per line
+    assert "huis\t10:14" in folded and "huis\t10:14" in retained
+    assert "huis\t0:4" in per_line
