@@ -124,3 +124,38 @@ def test_checkpoint_learn_resume(tmp_path):
     assert restored.decoder[vid].variants
     results = restored.find_variants("rihgt", get_test_searchparams())
     assert "right" in [restored.decoder[r.vocab_id].text for r in results]
+
+
+def test_learn_strict_device_equals_oracle():
+    """Strict learn through the ranked device stream (survivor arrays, no
+    VariantResult objects) must produce the same vocabulary, links, and
+    frequencies as the oracle path."""
+    words = (
+        "right", "think", "you", "are", "rites", "tiers", "tires", "tries",
+        "tyres", "rides", "brides", "dire", "bride", "happy", "earth",
+    )
+    corpus = [
+        "rihgt", "thinck", "rihgt", "tirse", "brid", "erth", "hapy",
+        "rihgt", "tirse",
+    ]
+
+    def snapshot(model):
+        out = []
+        for v in model.decoder:
+            links = (
+                None
+                if v.variants is None
+                else [(r.kind, r.vocab_id, r.score) for r in v.variants]
+            )
+            out.append((v.text, v.frequency, int(v.vocabtype), links))
+        return out
+
+    results = {}
+    for backend in ("oracle", "device"):
+        model = _model(words)
+        model.set_backend(backend)
+        count = model.learn_variants(
+            list(corpus), get_test_searchparams(), strict=True
+        )
+        results[backend] = (count, snapshot(model))
+    assert results["device"] == results["oracle"]

@@ -1,0 +1,48 @@
+"""Assemble benchmarks/RESULTS_r{N}.json from suite log files.
+
+Usage: python tools/record_results.py 3 /tmp/suite_r03_a.log [/tmp/suite_r03_b.log ...]
+
+Each log line that parses as a JSON object with a "scenario" key is
+collected (later duplicates of a scenario replace earlier ones, so reruns
+in the same log win).
+"""
+
+import json
+import sys
+
+
+def main() -> int:
+    rnd = int(sys.argv[1])
+    scenarios = {}
+    for path in sys.argv[2:]:
+        try:
+            with open(path, encoding="utf-8") as f:
+                lines = f.read().splitlines()
+        except OSError as e:
+            print(f"warning: {path}: {e}", file=sys.stderr)
+            continue
+        for line in lines:
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(obj, dict) and "scenario" in obj:
+                scenarios[obj["scenario"]] = obj
+    out = {
+        "round": rnd,
+        "device": "1x TPU v5e (remote-attached, axon)",
+        "scenarios": list(scenarios.values()),
+    }
+    path = f"benchmarks/RESULTS_r{rnd:02d}.json"
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(f"wrote {path} with {len(scenarios)} scenarios")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
