@@ -94,6 +94,27 @@ def query_eng():
     return {"scenario": "query_eng", "qps": round(qps, 1), "build_s": round(build_s, 2)}
 
 
+def query_ratio():
+    """Ratio thresholds (CLI ``-k 0.5 -d 0.3``): per-query distances scale
+    with length, pushing long queries past edit distance 3 and compiling
+    the production window-12 DL bucket (reference types.rs:75-108)."""
+    model, build_s = _model(ENG)
+    rng = random.Random(5)
+    words = [model.decoder[i].text for i in range(3, len(model.decoder), 7)]
+    queries = [corrupt(w, rng) for w in words[:16384]]
+    params = SearchParameters(
+        max_anagram_distance=DistanceThreshold.ratio_of(0.5),
+        max_edit_distance=DistanceThreshold.ratio_of(0.3),
+        max_matches=10,
+    )
+    qps = _throughput(model, queries, params)
+    return {
+        "scenario": "query_ratio",
+        "qps": round(qps, 1),
+        "build_s": round(build_s, 2),
+    }
+
+
 def query_nld_freq():
     model, build_s = _model(NLD)
     model.have_freq = True  # exercise frequency-weighted ranking
@@ -455,6 +476,7 @@ def sharded_1m():
 SCENARIOS = {
     "query_eng": query_eng,
     "micro": micro,
+    "query_ratio": query_ratio,
     "query_nld_freq": query_nld_freq,
     "search_text": search_text,
     "learn": learn,
