@@ -35,7 +35,6 @@ class FastUnit:
     """Segmentation product of one stream unit (several texts)."""
 
     texts: Sequence[str]
-    bytetexts: List[Optional[bytes]]
     # per text: boundary offset arrays (python lists for scalar access)
     bb: List[Optional[List[int]]]
     be: List[Optional[List[int]]]
@@ -76,7 +75,6 @@ def _prepare_unit_native(
     n_texts = len(texts)
     unit = FastUnit(
         texts=texts,
-        bytetexts=[None] * n_texts,
         bb=[None] * n_texts,
         be=[None] * n_texts,
     )
@@ -119,7 +117,6 @@ def prepare_unit(texts: Sequence[str], max_ngram: int) -> Optional[FastUnit]:
         return native
     unit = FastUnit(
         texts=texts,
-        bytetexts=[None] * len(texts),
         bb=[None] * len(texts),
         be=[None] * len(texts),
     )
@@ -136,7 +133,6 @@ def prepare_unit(texts: Sequence[str], max_ngram: int) -> Optional[FastUnit]:
             unit.text_chains.append((len(ct), len(ct)))
             continue
         data = text.encode()
-        unit.bytetexts[ti] = data
         # boundaries: runs of non-alphabetic bytes + trailing empty
         # (find_boundaries ASCII fast path, fuzz-pinned in tests)
         bb: List[int] = []
