@@ -406,12 +406,12 @@ def consolidate_unit(
                 else:
                     lo2 = sb_l[row]
                     hi2 = sb_l[row + 1]
-                    res = [
-                        VariantResult(v, d, f, None)
-                        for v, d, f in zip(
-                            vid_l[lo2:hi2], ds_l[lo2:hi2], fq_l[lo2:hi2]
+                    res = list(
+                        map(
+                            VariantResult,
+                            vid_l[lo2:hi2], ds_l[lo2:hi2], fq_l[lo2:hi2],
                         )
-                    ]
+                    )
             found_cache[q] = res
             return res
     else:
