@@ -41,7 +41,42 @@ def corrupt(word: str, rng: random.Random) -> str:
     return word[:i] + "q" + word[i + 1 :]  # substitution
 
 
+def wait_for_backend(max_wait_s: float = 1200.0) -> None:
+    """Block until the JAX backend initializes (probed in a SUBPROCESS —
+    an in-process init failure is sticky). The remote-attached TPU tunnel
+    has been observed to wedge for tens of minutes; waiting it out beats
+    recording a crash."""
+    import subprocess
+
+    t0 = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+                timeout=max(60, min(300, max_wait_s)),
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1  # hung probe == backend down
+        if rc == 0:
+            return
+        waited = time.time() - t0
+        if waited > max_wait_s:
+            log(
+                f"backend probe still failing after {waited:.0f}s; "
+                "proceeding anyway"
+            )
+            return
+        log(f"backend unavailable (probe {attempt}); retrying in 60s")
+        time.sleep(60)
+
+
 def main():
+    wait_for_backend()
+
     from analiticcl_tpu.models.variant_model import VariantModel
     from analiticcl_tpu.types import DistanceThreshold, SearchParameters
     from analiticcl_tpu.vocab import VocabParams
