@@ -11,7 +11,7 @@ single-query reference and the fallback), enforced by tests.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import List, Sequence
 
 import numpy as np
 
