@@ -181,6 +181,69 @@ def search_text():
     }
 
 
+def search_lm():
+    """BASELINE configs[3]: running-text search with language-model context
+    scoring. The LM (bigram counts over a synthetic corpus of lexicon words)
+    forces the exact n-best object path (lattice DP + batched LM scoring);
+    the array-native fast path covers the no-LM case (search_text)."""
+    model = VariantModel(alphabet_file=ALPHABET)
+    model.read_vocabulary(ENG, VocabParams())
+    rng = random.Random(8)
+    words = [model.decoder[i].text for i in range(3, len(model.decoder), 17)]
+    # synthetic corpus: sentences of real words; bigrams become LM entries
+    lmp = VocabParams(vocab_type=VocabType.LM)
+    bigrams = {}
+    sentences = []
+    for _ in range(512):
+        toks = [rng.choice(words) for _ in range(12)]
+        sentences.append(
+            " ".join(corrupt(t, rng) for t in toks) + "."
+        )
+        for a, b in zip(toks, toks[1:]):
+            key = f"{a} {b}"
+            bigrams[key] = bigrams.get(key, 0) + 1
+    for key, freq in bigrams.items():
+        model.add_to_vocabulary(key, freq, lmp)
+    t0 = time.time()
+    model.build()
+    build_s = time.time() - t0
+    model.set_backend("device")
+    from analiticcl_tpu.utils.gc_tuning import freeze_model_heap
+
+    freeze_model_heap()
+    params = SearchParameters(
+        max_anagram_distance=DistanceThreshold.absolute(3),
+        max_edit_distance=DistanceThreshold.absolute(2),
+        max_matches=5,
+        max_ngram=2,
+        lm_weight=1.0,
+    )
+    groups = ["\n".join(sentences[i : i + 100]) for i in range(0, 512, 100)]
+    tokens_of = [sum(len(s.split()) for s in g.split("\n")) for g in groups]
+    model.find_all_matches(groups[0], params)  # compile
+    list(model.find_all_matches_stream(groups, params))  # settle budgets
+
+    def cycle():
+        while True:
+            yield from groups
+
+    t0 = time.time()
+    done_tokens = 0
+    matches = 0
+    for gi, out in enumerate(model.find_all_matches_stream(cycle(), params)):
+        done_tokens += tokens_of[gi % len(groups)]
+        matches += len(out)
+        if gi % len(groups) == len(groups) - 1 and time.time() - t0 > 30.0:
+            break
+    dt = time.time() - t0
+    return {
+        "scenario": "search_lm",
+        "tokens_per_s": round(done_tokens / dt, 1),
+        "matches": matches,
+        "build_s": round(build_s, 2),
+    }
+
+
 def learn():
     model, build_s = _model(ENG)
     rng = random.Random(4)
@@ -473,17 +536,63 @@ def sharded_1m():
     }
 
 
+def learn_1m():
+    """BASELINE configs[4]: iterative variant learning against the 1M-entry
+    background lexicon through the sharded pipeline (mesh 1x1 here; the
+    same program compiles and runs on 2x4 in dryrun_multichip)."""
+    import os
+
+    import jax
+
+    from analiticcl_tpu.parallel.mesh import make_mesh
+    from analiticcl_tpu.utils.gc_tuning import freeze_model_heap, prewarm_heap
+
+    path = "/tmp/bench_1m.tsv"
+    if not os.path.exists(path):
+        _make_1m_lexicon(path)
+    prewarm_heap(768 * 1024 * 1024)
+    model = VariantModel(alphabet_file=ALPHABET)
+    model.read_vocabulary(path, VocabParams())
+    t0 = time.time()
+    model.build()
+    build_s = time.time() - t0
+    model.use_mesh(make_mesh(jax.devices()[:1], dp=1))
+    freeze_model_heap()
+    rng = random.Random(9)
+    words = [model.decoder[i].text for i in range(3, len(model.decoder), 131)]
+    corpus = [corrupt(w, rng) for w in words[:7000]]
+    params = SearchParameters(
+        max_anagram_distance=DistanceThreshold.absolute(3),
+        max_edit_distance=DistanceThreshold.absolute(2),
+        max_matches=3,
+        score_threshold=0.7,
+    )
+    list(model.find_variants_stream(corpus[:2048], params))  # compile
+    t0 = time.time()
+    count = model.learn_variants(corpus, params, strict=True, auto_build=True)
+    dt = time.time() - t0
+    return {
+        "scenario": "learn_1m",
+        "inputs_per_s": round(len(corpus) / dt, 1),
+        "learned": count,
+        "iteration_s": round(dt, 2),
+        "build_s": round(build_s, 2),
+    }
+
+
 SCENARIOS = {
     "query_eng": query_eng,
     "micro": micro,
     "query_ratio": query_ratio,
     "query_nld_freq": query_nld_freq,
     "search_text": search_text,
+    "search_lm": search_lm,
     "learn": learn,
     "build_1m": build_1m,
     "confusables_errors": confusables_errors,
     "sharded_query": sharded_query,
     "sharded_1m": sharded_1m,
+    "learn_1m": learn_1m,
 }
 
 
