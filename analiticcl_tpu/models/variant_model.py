@@ -1329,11 +1329,26 @@ class VariantModel:
                 t0s.append(-1 if a is None else a)
                 t1s.append(-1 if b is None else b)
                 segs.append(si)
-        if not segs:
+        return self._lm_score_pairs(
+            np.asarray(t0s, dtype=np.int64),
+            np.asarray(t1s, dtype=np.int64),
+            np.asarray(segs, dtype=np.int64),
+            nseq,
+        )
+
+    def _lm_score_pairs(
+        self,
+        t0a: np.ndarray,
+        t1a: np.ndarray,
+        seg: np.ndarray,
+        nseq: int,
+    ) -> List[Tuple[float, float]]:
+        """Score pre-built (token, next token, sequence) bigram columns
+        (None tokens encoded as -1). Contributions accumulate per sequence
+        in array order — callers must supply pairs sequence-major and
+        left-to-right for bit-equality with the scalar path."""
+        if len(seg) == 0:
             return [(0.0, 0.0)] * nseq
-        t0a = np.asarray(t0s, dtype=np.int64)
-        t1a = np.asarray(t1s, dtype=np.int64)
-        seg = np.asarray(segs, dtype=np.int64)
         present = (t0a >= 0) & (t1a >= 0)
 
         bi_keys, bi_counts, uni_keys, uni_counts = self._lm_tables()
@@ -1400,17 +1415,18 @@ class VariantModel:
         return self.lm_score_tokens(tokens)
 
     def test_context_rules(
-        self, sequence: SequenceHyp
+        self, vids: Sequence[VocabId]
     ) -> Tuple[float, List[List[PatternMatchResult]]]:
-        """Apply context rules over a sequence (lib.rs:2501-2576)."""
+        """Apply context rules over a sequence of output vocab ids
+        (lib.rs:2501-2576; 0 = out-of-vocabulary)."""
         seq: List[Tuple[VocabId, int]] = []
-        for output_symbol in sequence.output_symbols:
-            if output_symbol.vocab_id == 0:
+        for vid in vids:
+            if vid == 0:
                 seq.append((0, 0))
             else:
-                item = self.get_vocab(output_symbol.vocab_id)
+                item = self.get_vocab(vid)
                 seq.append(
-                    (output_symbol.vocab_id, item.lexindex if item is not None else 0)
+                    (vid, item.lexindex if item is not None else 0)
                 )
         sequence_results: List[List[PatternMatchResult]] = [[] for _ in seq]
         found = False
@@ -2055,6 +2071,22 @@ class VariantModel:
 
     @staticmethod
     def _nbest_paths(nstates, in_arcs, final_states, nbest):
+        """Exact n-best paths as [(cost, symbol-tuple)] best-first (the
+        array form below avoids the tuple round trip on the hot path)."""
+        res = VariantModel._nbest_paths_arrays(
+            nstates, in_arcs, final_states, nbest
+        )
+        if not res[0]:
+            return []
+        costs, syms_all, bounds = res
+        syms_l = syms_all.tolist()
+        return [
+            (cost, tuple(syms_l[bounds[k] : bounds[k + 1]]))
+            for k, cost in enumerate(costs)
+        ]
+
+    @staticmethod
+    def _nbest_paths_arrays(nstates, in_arcs, final_states, nbest):
         """Exact n-best paths over the topologically ordered lattice DAG.
 
         Per-state hypothesis arrays, each sorted by (cost, construction
@@ -2105,22 +2137,57 @@ class VariantModel:
         collected_refs.sort(key=lambda x: (x[0], x[1], x[2]))
         collected_refs = collected_refs[:nbest]
 
-        def reconstruct(state: int, hidx: int) -> Tuple[int, ...]:
-            syms: List[int] = []
-            while state >= 0:
-                symbol = int(hyp_sym[state][hidx])
-                if symbol >= 0:
-                    syms.append(symbol)
-                state, hidx = (
-                    int(hyp_src[state][hidx]), int(hyp_shidx[state][hidx])
-                )
-            syms.reverse()
-            return tuple(syms)
-
-        return [
-            (cost, reconstruct(state, hidx))
-            for cost, state, hidx in collected_refs
-        ]
+        if not collected_refs:
+            return [], np.zeros(0, np.int64), np.zeros(1, np.int64)
+        # lockstep reconstruction: flatten the per-state hypothesis arrays
+        # once, then walk ALL collected paths in parallel (the scalar
+        # per-hypothesis walk dominated LM-mode consolidation)
+        off = np.zeros(nstates + 1, np.int64)
+        np.cumsum(np.asarray(hyp_n, np.int64), out=off[1:])
+        flat_src = np.concatenate(
+            [hyp_src[s][: hyp_n[s]] for s in range(nstates)]
+        ).astype(np.int64)
+        flat_shidx = np.concatenate(
+            [hyp_shidx[s][: hyp_n[s]] for s in range(nstates)]
+        ).astype(np.int64)
+        flat_sym = np.concatenate(
+            [hyp_sym[s][: hyp_n[s]] for s in range(nstates)]
+        ).astype(np.int64)
+        n_col = len(collected_refs)
+        cur_state = np.fromiter(
+            (s for _, s, _ in collected_refs), np.int64, count=n_col
+        )
+        cur_hidx = np.fromiter(
+            (h for _, _, h in collected_refs), np.int64, count=n_col
+        )
+        act = np.arange(n_col)
+        r_k: List[np.ndarray] = []
+        r_sym: List[np.ndarray] = []
+        r_round: List[np.ndarray] = []
+        rnd = 0
+        while len(act):
+            idx = off[cur_state[act]] + cur_hidx[act]
+            r_k.append(act)
+            r_sym.append(flat_sym[idx])
+            r_round.append(np.full(len(act), rnd, np.int64))
+            cur_state[act] = flat_src[idx]
+            cur_hidx[act] = flat_shidx[idx]
+            keep = cur_state[act] >= 0
+            act = act[keep]
+            rnd += 1
+        ks = np.concatenate(r_k)
+        syms_all = np.concatenate(r_sym)
+        rounds = np.concatenate(r_round)
+        real = syms_all >= 0
+        ks, syms_all, rounds = ks[real], syms_all[real], rounds[real]
+        # forward order per hypothesis = descending round
+        order = np.lexsort((-rounds, ks))
+        ks = ks[order]
+        syms_all = syms_all[order]
+        counts = np.bincount(ks, minlength=n_col)
+        bounds = np.zeros(n_col + 1, np.int64)
+        np.cumsum(counts, out=bounds[1:])
+        return [c for c, _, _ in collected_refs], syms_all, bounds
 
     def most_likely_sequence(
         self,
@@ -2141,8 +2208,6 @@ class VariantModel:
         n-best dynamic program over the DAG (states are topologically ordered
         by construction), which needs no FST library.
         """
-        from ..search import OutputSymbol
-
         nstates = len(boundaries) + 1  # 0 = start, i+1 = boundary i
         final_states = set()
         for i, boundary in enumerate(boundaries):
@@ -2154,11 +2219,13 @@ class VariantModel:
         if not final_states:
             raise RuntimeError("no final state found")
 
-        output_symbols: List[OutputSymbol] = [
-            OutputSymbol(
-                vocab_id=0, symbol=0, match_index=0, variant_index=None, boundary_index=0
-            )
-        ]
+        # symbols as parallel columns (an OutputSymbol object per (match,
+        # variant) pair dominated LM-mode consolidation); entry 0 is the
+        # reference's dummy symbol
+        sym_vid: List[VocabId] = [0]
+        sym_match: List[int] = [0]
+        sym_vidx: List[Optional[int]] = [None]
+        sym_bidx: List[int] = [0]
         arcs: List[List[Tuple[int, float, Optional[int]]]] = [
             [] for _ in range(nstates)
         ]  # source -> [(target, cost, symbol index or None)]
@@ -2183,30 +2250,20 @@ class VariantModel:
 
             if m.variants:
                 for variant_index, variantresult in enumerate(m.variants):
-                    symbol = len(output_symbols)
-                    output_symbols.append(
-                        OutputSymbol(
-                            vocab_id=variantresult.vocab_id,
-                            symbol=symbol,
-                            match_index=match_index,
-                            variant_index=variant_index,
-                            boundary_index=nextboundary,
-                        )
-                    )
+                    symbol = len(sym_vid)
+                    sym_vid.append(variantresult.vocab_id)
+                    sym_match.append(match_index)
+                    sym_vidx.append(variant_index)
+                    sym_bidx.append(nextboundary)
                     cost = n + (1.0 - variantresult.score(params.freq_weight))
                     arcs[prevstate].append((nextstate, cost, symbol))
             elif n == 1:
                 # out-of-vocabulary unigram, copied from input
-                symbol = len(output_symbols)
-                output_symbols.append(
-                    OutputSymbol(
-                        vocab_id=0,
-                        symbol=symbol,
-                        match_index=match_index,
-                        variant_index=None,
-                        boundary_index=nextboundary,
-                    )
-                )
+                symbol = len(sym_vid)
+                sym_vid.append(0)
+                sym_match.append(match_index)
+                sym_vidx.append(None)
+                sym_bidx.append(nextboundary)
                 arcs[prevstate].append((nextstate, float(n + 1), symbol))
 
         # epsilon failsafe arcs (lib.rs:2265-2276)
@@ -2214,10 +2271,21 @@ class VariantModel:
             prevstate = 0 if i == 0 else i
             arcs[prevstate].append((i + 1, 100.0, None))
 
-        if len(output_symbols) == 1:
+        if len(sym_vid) == 1:
             return matches
 
         if self.debug >= 3:
+            from ..search import OutputSymbol
+
+            output_symbols = [
+                OutputSymbol(
+                    vocab_id=v, symbol=k, match_index=mi,
+                    variant_index=vx, boundary_index=bi,
+                )
+                for k, (v, mi, vx, bi) in enumerate(
+                    zip(sym_vid, sym_match, sym_vidx, sym_bidx)
+                )
+            ]
             self._dump_lattice_dot(
                 input_text, arcs, final_states, output_symbols, matches
             )
@@ -2238,33 +2306,48 @@ class VariantModel:
                 in_arcs[target].append((state, cost, symbol))
 
         if nbest == 1:
-            collected = self._best_path(nstates, in_arcs, final_states)
+            bp = self._best_path(nstates, in_arcs, final_states)
+            costs = [c for c, _ in bp]
+            syms_concat = np.asarray(
+                [s for _, ss in bp for s in ss], np.int64
+            )
+            bounds = np.zeros(len(bp) + 1, np.int64)
+            if bp:
+                np.cumsum([len(ss) for _, ss in bp], out=bounds[1:])
         else:
-            collected = self._nbest_paths(
+            costs, syms_concat, bounds = self._nbest_paths_arrays(
                 nstates, in_arcs, final_states, nbest
             )
 
-        sequences: List[SequenceHyp] = []
+        # hypotheses as parallel columns (a SequenceHyp object per
+        # hypothesis dominated LM-mode consolidation at max_seq=250)
+        nseq = len(costs)
         best_lm_perplexity = 999999.0
         best_variant_cost = (len(boundaries) - 1) * 2.0
         best_context_score = 0.0
-        for cost, syms in collected:
-            seq = SequenceHyp(variant_cost=cost)
-            seq.output_symbols = [output_symbols[s] for s in syms]
+        ctx_scores: List[float] = [1.0] * nseq
+        tags_of: List[Optional[List]] = [None] * nseq
+        perps: List[float] = [0.0] * nseq
+        syms_list = syms_concat.tolist()
+        for k, cost in enumerate(costs):
             if self.context_rules:
-                context_score, sequence_results = self.test_context_rules(seq)
-                seq.context_score = context_score
-                seq.tags = [
+                context_score, sequence_results = self.test_context_rules(
+                    [
+                        sym_vid[s]
+                        for s in syms_list[bounds[k] : bounds[k + 1]]
+                    ]
+                )
+                ctx_scores[k] = context_score
+                tags_of[k] = [
                     [(pm.tag, pm.seqnr) for pm in vecpm if pm.tag is not None]
                     for vecpm in sequence_results
                 ]
             if cost < best_variant_cost:
                 best_variant_cost = cost
-            if seq.context_score > best_context_score:
-                best_context_score = seq.context_score
-            sequences.append(seq)
+            if ctx_scores[k] > best_context_score:
+                best_context_score = ctx_scores[k]
 
-        if self.have_lm and params.lm_weight > 0 and sequences:
+        if self.have_lm and params.lm_weight > 0 and nseq:
             # one vectorized LM pass over every kept hypothesis; the token
             # expansion (lm_score, lib.rs:2578-2628) is shared via caches —
             # the same vocab entry or boundary text recurs across hypotheses
@@ -2294,56 +2377,114 @@ class VariantModel:
                     btail_cache[bidx] = tail
                 return tail
 
-            token_lists: List[List[Optional[VocabId]]] = []
-            for seq in sequences:
-                tokens: List[Optional[VocabId]] = [BOS]
-                for osym in seq.output_symbols:
-                    if osym.vocab_id == 0:
-                        tokens.append(None)
+            from itertools import chain as _chain
+
+            # per-SYMBOL token groups memoized once: a symbol's expansion
+            # (its vocab tokens + its boundary tail) is identical across
+            # every hypothesis it appears in
+            symtok_cache: Dict[int, Tuple[Optional[VocabId], ...]] = {}
+
+            def sym_tokens(s: int) -> Tuple[Optional[VocabId], ...]:
+                t = symtok_cache.get(s)
+                if t is None:
+                    parts: List[Optional[VocabId]] = []
+                    vid = sym_vid[s]
+                    if vid == 0:
+                        parts.append(None)
                     else:
-                        ng = vid_tokens(osym.vocab_id)
+                        ng = vid_tokens(vid)
                         if ng is not None:
-                            tokens.extend(ng)
-                    tail = boundary_tail(osym.boundary_index)
+                            parts.extend(ng)
+                    tail = boundary_tail(sym_bidx[s])
                     if tail is not None:
-                        tokens.extend(tail)
-                tokens.append(EOS)
-                token_lists.append(tokens)
-            for seq, (lm_logprob, perplexity) in zip(
-                sequences, self.lm_score_tokens_batch(token_lists)
+                        parts.extend(tail)
+                    t = tuple(parts)
+                    symtok_cache[s] = t
+                return t
+
+            # flat bigram construction over symbol token GROUPS (the
+            # expansions are per-symbol constants): sequence-major and
+            # left-to-right, the exact accumulation order of the scalar path
+            nsym_tot = len(sym_vid)
+            group_of = [sym_tokens(s) for s in range(nsym_tot)]
+            group_of.append((BOS,))  # virtual start symbol
+            group_of.append((EOS,))  # virtual end symbol
+            bos_id, eos_id = nsym_tot, nsym_tot + 1
+            glen = np.fromiter(
+                (len(g) for g in group_of), np.int64, len(group_of)
+            )
+            glo = np.zeros(len(group_of) + 1, np.int64)
+            np.cumsum(glen, out=glo[1:])
+            table = np.fromiter(
+                _chain.from_iterable(
+                    (-1 if t is None else t for t in g) for g in group_of
+                ),
+                np.int64,
+                int(glo[-1]),
+            )
+            # per-hypothesis symbol streams with virtual BOS/EOS symbols,
+            # assembled by scatter (positions not written hold eos_id)
+            s_counts = np.diff(bounds)
+            seq_tot = s_counts + 2
+            seq_starts = np.zeros(nseq + 1, np.int64)
+            np.cumsum(seq_tot, out=seq_starts[1:])
+            all_syms = np.full(int(seq_starts[-1]), eos_id, np.int64)
+            all_syms[seq_starts[:-1]] = bos_id
+            if len(syms_concat):
+                pos = np.arange(len(syms_concat), dtype=np.int64) + np.repeat(
+                    seq_starts[:-1] + 1 - bounds[:-1], s_counts
+                )
+                all_syms[pos] = syms_concat
+            seq_of_sym = np.repeat(np.arange(nseq, dtype=np.int64), seq_tot)
+            gl = glen[all_syms]
+            tot = int(gl.sum())
+            offs = (
+                np.arange(tot, dtype=np.int64)
+                - np.repeat(np.cumsum(gl) - gl, gl)
+            )
+            tokens_flat = table[np.repeat(glo[all_syms], gl) + offs]
+            tseq = np.repeat(seq_of_sym, gl)
+            m_pair = tseq[1:] == tseq[:-1]
+            for k, (lm_logprob, perplexity) in enumerate(
+                self._lm_score_pairs(
+                    tokens_flat[:-1][m_pair],
+                    tokens_flat[1:][m_pair],
+                    tseq[1:][m_pair],
+                    nseq,
+                )
             ):
-                seq.lm_logprob = lm_logprob
-                seq.perplexity = perplexity
+                perps[k] = perplexity
                 if perplexity < best_lm_perplexity:
                     best_lm_perplexity = perplexity
 
         best_score = -99999999.0
-        best_sequence: Optional[SequenceHyp] = None
-        for seq in sequences:
-            if self.have_lm and params.lm_weight > 0:
-                norm_lm_score = math.log(best_lm_perplexity / seq.perplexity)
+        best_k = -1
+        use_lm_score = self.have_lm and params.lm_weight > 0
+        plain = (not self.have_lm or params.lm_weight == 0.0) and (
+            not self.context_rules or params.contextrules_weight == 0.0
+        )
+        for k in range(nseq):
+            if use_lm_score:
+                norm_lm_score = math.log(best_lm_perplexity / perps[k])
             else:
                 norm_lm_score = 0.0
             # Rust's f64::ln(0.0) is -inf (no panic): a single-boundary hard
             # batch has best_variant_cost == 0, and the reference's
             # (0/cost).ln() scores such sequences -inf (lib.rs:2399-2403);
             # math.log would raise instead, so mirror Rust explicitly
-            if seq.variant_cost <= 0:
+            cost = costs[k]
+            if cost <= 0:
                 norm_variant_score = 0.0
             elif best_variant_cost <= 0:
                 norm_variant_score = float("-inf")
             else:
-                norm_variant_score = math.log(
-                    best_variant_cost / seq.variant_cost
-                )
+                norm_variant_score = math.log(best_variant_cost / cost)
             norm_context_score = (
-                math.log(seq.context_score / best_context_score)
-                if best_context_score > 0 and seq.context_score > 0
+                math.log(ctx_scores[k] / best_context_score)
+                if best_context_score > 0 and ctx_scores[k] > 0
                 else 0.0
             )
-            if (not self.have_lm or params.lm_weight == 0.0) and (
-                not self.context_rules or params.contextrules_weight == 0.0
-            ):
+            if plain:
                 score = norm_variant_score
             else:
                 score = (
@@ -2355,20 +2496,21 @@ class VariantModel:
                     + params.variantmodel_weight
                     + params.contextrules_weight
                 )
-            if score > best_score or best_sequence is None:
+            if score > best_score or best_k < 0:
                 best_score = score
-                best_sequence = seq
+                best_k = k
 
-        assert best_sequence is not None
+        assert best_k >= 0
         out: List[Match] = []
-        for i, osym in enumerate(best_sequence.output_symbols):
-            m = matches[osym.match_index].shallow_copy()
-            m.selected = osym.variant_index
-            if best_sequence.tags:
-                if i < len(best_sequence.tags):
-                    tags = best_sequence.tags[i]
+        best_tags = tags_of[best_k]
+        for i, s in enumerate(syms_list[bounds[best_k] : bounds[best_k + 1]]):
+            m = matches[sym_match[s]].shallow_copy()
+            m.selected = sym_vidx[s]
+            if best_tags:
+                if i < len(best_tags):
+                    tags = best_tags[i]
                     m.tag = [t for t, _ in tags]
-                    m.seqnr = [s for _, s in tags]
+                    m.seqnr = [sq for _, sq in tags]
             out.append(m)
         return out
 
