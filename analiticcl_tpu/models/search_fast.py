@@ -38,6 +38,9 @@ class FastUnit:
     # per text: boundary offset arrays (python lists for scalar access)
     bb: List[Optional[List[int]]]
     be: List[Optional[List[int]]]
+    # per text: UTF-8 bytes for non-ASCII texts (offsets are byte offsets;
+    # ASCII texts slice the str directly), else None
+    raw: List[Optional[bytes]] = field(default_factory=list)
     # chains (= hard batches), global across the unit
     chain_text: List[int] = field(default_factory=list)
     chain_begin: List[int] = field(default_factory=list)
@@ -77,6 +80,7 @@ def _prepare_unit_native(
         texts=texts,
         bb=[None] * n_texts,
         be=[None] * n_texts,
+        raw=[None] * n_texts,
     )
     for ti in range(n_texts):
         lo, hi = int(b_off[ti]), int(b_off[ti + 1])
@@ -101,20 +105,45 @@ def _prepare_unit_native(
     return unit
 
 
+def _boundaries_unicode(text: str) -> Tuple[List[int], List[int]]:
+    """Boundary runs (byte offsets) for non-ASCII text — the generic
+    unicode-isalpha scan of search._find_boundaries_generic."""
+    bb: List[int] = []
+    be: List[int] = []
+    begin: Optional[int] = None
+    pos = 0
+    for ch in text:
+        if begin is not None:
+            if ch.isalpha():
+                bb.append(begin)
+                be.append(pos)
+                begin = None
+        else:
+            if not ch.isalpha():
+                begin = pos
+        pos += len(ch.encode())
+    if begin is not None:
+        bb.append(begin)
+        be.append(pos)
+    if not bb or be[-1] != pos:
+        bb.append(pos)
+        be.append(pos)
+    return bb, be
+
+
 def prepare_unit(texts: Sequence[str], max_ngram: int) -> Optional[FastUnit]:
-    """Segment a unit of ASCII texts into flat arrays (no Match objects).
+    """Segment a unit of texts into flat arrays (no Match objects).
 
     Mirrors find_boundaries + classify_boundaries + the hard-batch split +
     find_match_ngrams (search.rs:190-313, lib.rs:1817-1861) exactly,
-    including the trailing-segment internal-boundaries quirk. Returns None
-    if any text is non-ASCII (caller falls back to the object path).
+    including the trailing-segment internal-boundaries quirk. All offsets
+    are UTF-8 byte offsets; all-ASCII units take the C++ core, non-ASCII
+    texts the generic unicode boundary scan.
     """
-    for t in texts:
-        if t and not t.isascii():
-            return None
-    native = _prepare_unit_native(texts, max_ngram)
-    if native is not None:
-        return native
+    if all(not t or t.isascii() for t in texts):
+        native = _prepare_unit_native(texts, max_ngram)
+        if native is not None:
+            return native
     unit = FastUnit(
         texts=texts,
         bb=[None] * len(texts),
@@ -128,22 +157,27 @@ def prepare_unit(texts: Sequence[str], max_ngram: int) -> Optional[FastUnit]:
     )
     segments = unit.segments
 
+    unit.raw = [None] * len(texts)
     for ti, text in enumerate(texts):
         if not text:
             unit.text_chains.append((len(ct), len(ct)))
             continue
         data = text.encode()
-        # boundaries: runs of non-alphabetic bytes + trailing empty
-        # (find_boundaries ASCII fast path, fuzz-pinned in tests)
-        bb: List[int] = []
-        be: List[int] = []
-        for m in _ASCII_NONALPHA.finditer(data):
-            bb.append(m.start())
-            be.append(m.end())
-        n = len(data)
-        if not bb or be[-1] != n:
-            bb.append(n)
-            be.append(n)
+        if text.isascii():
+            # boundaries: runs of non-alphabetic bytes + trailing empty
+            # (find_boundaries ASCII fast path, fuzz-pinned in tests)
+            bb: List[int] = []
+            be: List[int] = []
+            for m in _ASCII_NONALPHA.finditer(data):
+                bb.append(m.start())
+                be.append(m.end())
+            n = len(data)
+            if not bb or be[-1] != n:
+                bb.append(n)
+                be.append(n)
+        else:
+            bb, be = _boundaries_unicode(text)
+            unit.raw[ti] = data  # byte offsets: slice bytes, then decode
         unit.bb[ti] = bb
         unit.be[ti] = be
         nb = len(bb)
@@ -432,12 +466,16 @@ def consolidate_unit(
         ) if unit.seg_cols is not None else []
     chain_text = unit.chain_text
     texts_l = unit.texts
+    raw_l = unit.raw
 
     def make_match(si: int, selected) -> Match:
         cid, order, sb, se, q = segs[si]
+        ti = chain_text[cid]
+        r = raw_l[ti]
         m = Match(
-            # ASCII text (prepare gates on it): byte offsets == char offsets
-            text=texts_l[chain_text[cid]][sb:se],
+            # ASCII: byte offsets == char offsets, slice the str; non-ASCII
+            # texts carry their UTF-8 bytes (offsets are byte offsets)
+            text=texts_l[ti][sb:se] if r is None else r[sb:se].decode(),
             offset=Offset(sb, se),
             n=order,
             qidx=q if attached_l[si] else None,

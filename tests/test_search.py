@@ -523,7 +523,10 @@ def test_fast_consolidation_more_modes():
     for _ in range(12):
         n = rng.randrange(1, 7)
         texts.append(" ".join(rng.choice(words) for _ in range(n)) + ".")
-    texts.append("naïve tires — rites")  # non-ASCII: unit falls back
+    texts.append("naïve tires — rites")  # non-ASCII: unicode fast path
+    texts.append("тires прright, tires!")  # cyrillic mixed
+    texts.append("ñ")  # single non-ASCII char
+    texts.append("café-bride's dire…")  # weak boundaries + ellipsis
 
     def signature(outs):
         return [
