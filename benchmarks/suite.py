@@ -24,6 +24,7 @@ from analiticcl_tpu.vocab import VocabParams, VocabType
 ALPHABET = "/root/reference/examples/simple.alphabet.tsv"
 ENG = "/root/reference/examples/eng.aspell.lexicon"
 NLD = "/root/reference/examples/nld.aspell.lexicon"
+BUDGET_S = 30.0  # per-scenario steady-state measurement budget
 
 
 def log(*a):
@@ -57,10 +58,11 @@ def _model(lexicon):
     return model, build_s
 
 
-def _throughput(model, queries, params, budget_s=30.0, batch=4096):
+def _throughput(model, queries, params, budget_s=None, batch=4096):
     """Steady-state q/s: ONE continuous warm stream that cycles the query
     set until the time budget is met (a stream shorter than the budget
     would make pipeline fill/drain latency dominate the measurement)."""
+    budget_s = BUDGET_S if budget_s is None else budget_s
     model.find_variants_batch(queries[:batch], params)  # compile
     model.find_variants_batch(queries[:batch], params)  # settle budgets
     tail = len(queries) % batch
@@ -163,7 +165,7 @@ def search_text():
         while True:
             yield from groups
 
-    budget_s = 30.0
+    budget_s = BUDGET_S
     t0 = time.time()
     done_tokens = 0
     matches = 0
@@ -233,7 +235,7 @@ def search_lm():
     for gi, out in enumerate(model.find_all_matches_stream(cycle(), params)):
         done_tokens += tokens_of[gi % len(groups)]
         matches += len(out)
-        if gi % len(groups) == len(groups) - 1 and time.time() - t0 > 30.0:
+        if gi % len(groups) == len(groups) - 1 and time.time() - t0 > BUDGET_S:
             break
     dt = time.time() - t0
     return {
@@ -523,7 +525,7 @@ def sharded_1m():
     batches = [queries[i : i + batch] for i in range(0, len(queries), batch)]
     t0 = time.time()
     done = 0
-    while time.time() - t0 < 30.0:
+    while time.time() - t0 < BUDGET_S:
         for res in pipe.find_variants_stream(batches, params):
             done += len(res)
     qps = done / (time.time() - t0)
