@@ -551,6 +551,7 @@ class VariantModel:
         the canonical (anagram value, vocab id) sort over 512-bit big-endian
         prime-product keys computed natively (exact Python-int fallback)."""
         self._lm_tables_cache = None
+        self._lm_vidtok_cache = None
         A = self.alphabet_size()
         indexed_flag = int(VocabType.INDEXED)
         lm_flag = int(VocabType.LM)
@@ -1212,6 +1213,7 @@ class VariantModel:
     def add_ngram(self, ngram: Tuple[VocabId, ...], frequency: int) -> None:
         self.ngrams[ngram] = self.ngrams.get(ngram, 0) + frequency
         self._lm_tables_cache = None
+        self._lm_vidtok_cache = None
 
     def into_ngram(
         self, word: VocabId, unseen_parts: Optional[Dict[str, VocabId]]
@@ -1304,7 +1306,20 @@ class VariantModel:
         uni_counts = np.asarray(uni_v, dtype=np.int64)
         order = np.argsort(uni_keys)
         uni_keys, uni_counts = uni_keys[order], uni_counts[order]
-        t = (bi_keys, bi_counts, uni_keys, uni_counts)
+        # per-bigram contribution, precomputed ONCE with math.log — the
+        # scalar oracle's exact values (lib.rs:2650-2660); the batch path
+        # and the native decode gather from this table, so every path is
+        # bit-equal to lm_score_tokens by construction
+        ngrams_get = self.ngrams.get
+        bi_contrib = np.empty(len(bi_keys))
+        for i, (key, joint) in enumerate(
+            zip(bi_keys.tolist(), bi_counts.tolist())
+        ):
+            prior = ngrams_get((key >> 32,), 1)
+            bi_contrib[i] = (
+                math.log(joint) if prior < joint else math.log(joint / prior)
+            )
+        t = (bi_keys, bi_counts, uni_keys, uni_counts, bi_contrib)
         self._lm_tables_cache = t
         return t
 
@@ -1347,47 +1362,38 @@ class VariantModel:
         (None tokens encoded as -1). Contributions accumulate per sequence
         in array order — callers must supply pairs sequence-major and
         left-to-right for bit-equality with the scalar path."""
+        logprob, perp = self._lm_score_pairs_arrays(t0a, t1a, seg, nseq)
+        return list(zip(logprob.tolist(), perp.tolist()))
+
+    def _lm_score_pairs_arrays(
+        self,
+        t0a: np.ndarray,
+        t1a: np.ndarray,
+        seg: np.ndarray,
+        nseq: int,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(logprob, perplexity) arrays per sequence; contributions
+        accumulate per sequence in array order (see _lm_score_pairs)."""
         if len(seg) == 0:
-            return [(0.0, 0.0)] * nseq
+            return np.zeros(nseq), np.zeros(nseq)
         present = (t0a >= 0) & (t1a >= 0)
 
-        bi_keys, bi_counts, uni_keys, uni_counts = self._lm_tables()
+        bi_keys, _bi_counts, _uk, _uc, bi_contrib = self._lm_tables()
         key = (t0a << 32) | np.where(t1a >= 0, t1a, 0)
         if len(bi_keys):
             bidx = np.searchsorted(bi_keys, key)
             bsafe = np.minimum(bidx, len(bi_keys) - 1)
             bfound = present & (bi_keys[bsafe] == key)
-            joint = bi_counts[bsafe]
-        else:
-            bfound = np.zeros(len(key), dtype=bool)
-            joint = np.ones(len(key), dtype=np.int64)
-        if len(uni_keys):
-            uidx = np.searchsorted(uni_keys, np.maximum(t0a, 0))
-            usafe = np.minimum(uidx, len(uni_keys) - 1)
-            ufound = uni_keys[usafe] == np.maximum(t0a, 0)
-            prior = np.where(ufound, uni_counts[usafe], 1)
-        else:
-            prior = np.ones(len(key), dtype=np.int64)
-
-        joint_f = joint.astype(np.float64)
-        with np.errstate(divide="ignore"):
             contrib = np.where(
-                bfound,
-                np.where(
-                    prior < joint,
-                    np.log(joint_f),
-                    np.log(joint_f / np.maximum(prior, 1).astype(np.float64)),
-                ),
-                TRANSITION_SMOOTHING_LOGPROB,
+                bfound, bi_contrib[bsafe], TRANSITION_SMOOTHING_LOGPROB
             )
+        else:
+            contrib = np.full(len(key), TRANSITION_SMOOTHING_LOGPROB)
         logprob = np.bincount(seg, weights=contrib, minlength=nseq)
         n = np.bincount(seg, minlength=nseq)
-        out: List[Tuple[float, float]] = []
-        for si in range(nseq):
-            lp = float(logprob[si])
-            cnt = int(n[si])
-            out.append((lp, -1.0 / cnt * lp if cnt else 0.0))
-        return out
+        with np.errstate(divide="ignore", invalid="ignore"):
+            perp = np.where(n > 0, (-1.0 / np.maximum(n, 1)) * logprob, 0.0)
+        return logprob, perp
 
     def lm_score(
         self, sequence: SequenceHyp, boundaries: Sequence[Match]
@@ -1524,13 +1530,13 @@ class VariantModel:
         buf: List[str] = []  # texts accumulated for the next unit
         buf_tokens = 0
 
-        # the array-native unit pipeline applies exactly when the decode
-        # reduces to argmin path cost (same gate as _fam_fast_ok)
+        # the array-native unit pipeline covers the argmin decode AND the
+        # LM-rescored n-best decode (search_fast._consolidate_lm); only
+        # context rules (tags) and debug lattice dumps take the object path
         fast_applicable = (
             getattr(self, "fast_consolidate", True)
             and self.debug < 3
             and not self.context_rules
-            and not (self.have_lm and params.lm_weight > 0)
         )
         consolidate = (
             params.max_ngram > 1 or self.have_lm or bool(self.context_rules)
@@ -1582,7 +1588,7 @@ class VariantModel:
                 from . import search_fast
 
                 return search_fast.consolidate_unit(
-                    preps, found, params, consolidate
+                    preps, found, params, consolidate, self
                 )
             return self._fam_consolidate(preps, uniq, found, params)
 

@@ -11,6 +11,7 @@
 // codepoint and records the UNK class.
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -1075,6 +1076,279 @@ extern "C" int64_t ananorm_segment(
     out_counts[2] = ns_all;
     out_counts[3] = (int64_t)ukeys.size();
     return 0;
+}
+
+}  // extern "C"
+
+// --------------------------------------------------------------------------
+// Exact n-best lattice decode with LM rescoring — the native core of
+// search_fast._consolidate_lm, mirroring VariantModel.most_likely_sequence
+// (reference lib.rs:2088-2495) for the LM-on / no-context-rules case:
+//   - per chain, exact n-best paths by cost; ties break in the in_arcs
+//     enumeration order (source state asc, arc creation order asc,
+//     source-hypothesis index asc) — _nbest_paths_arrays semantics
+//   - final hypotheses collected in (cost, state, hidx) order, top nbest
+//   - per-hypothesis LM logprob: sliding bigram over the token stream
+//     BOS ++ per-arc tokens ++ EOS (lib.rs:2580-2674), contributions
+//     gathered from a precomputed per-bigram table so values are bit-equal
+//     to the Python paths (which share the same table)
+//   - weighted log-space selection, first maximum wins (lib.rs:2383-2425)
+// --------------------------------------------------------------------------
+
+namespace {
+
+struct NbHyp {
+    double cost;
+    int32_t prev;  // pool index of the source hypothesis, -1 at state 0
+    int32_t arc;   // sorted-arc index taken into this state, -1 at state 0
+};
+
+struct NbCand {
+    double cost;
+    int32_t arc_pos;  // position within the (chain, target) arc slice:
+                      // encodes (src, serial) — the slice is sorted so
+    int32_t hidx;     // source-hypothesis index within its state
+    int32_t prev;     // pool index of the source hypothesis
+};
+
+struct NbFinal {
+    double cost;
+    int32_t state;
+    int32_t hidx;
+    int32_t pool;
+};
+
+// open-addressing map int64 key -> double (bigram contribution table)
+struct LmHash {
+    std::vector<int64_t> keys;
+    std::vector<double> vals;
+    uint64_t mask = 0;
+
+    static uint64_t mix(int64_t x) {
+        uint64_t z = (uint64_t)x + 0x9e3779b97f4a7c15ull;
+        z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ull;
+        z = (z ^ (z >> 27)) * 0x94d049bb133111ebull;
+        return z ^ (z >> 31);
+    }
+
+    void build(const int64_t* k, const double* v, int64_t n) {
+        uint64_t cap = 16;
+        while (cap < (uint64_t)(n + 1) * 2) cap <<= 1;
+        mask = cap - 1;
+        keys.assign(cap, INT64_MIN);
+        vals.assign(cap, 0.0);
+        for (int64_t i = 0; i < n; i++) {
+            uint64_t h = mix(k[i]) & mask;
+            while (keys[h] != INT64_MIN) h = (h + 1) & mask;
+            keys[h] = k[i];
+            vals[h] = v[i];
+        }
+    }
+
+    bool find(int64_t key, double* out) const {
+        uint64_t h = mix(key) & mask;
+        for (;;) {
+            int64_t k = keys[h];
+            if (k == key) {
+                *out = vals[h];
+                return true;
+            }
+            if (k == INT64_MIN) return false;
+            h = (h + 1) & mask;
+        }
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+int64_t ananorm_nbest_lm(
+    // arcs sorted by (chain, tgt, src, creation order); a_orig maps back to
+    // the creation-order id (== the tie-break serial)
+    int64_t n_arcs, const int32_t* a_chain, const int32_t* a_src,
+    const int32_t* a_tgt, const double* a_cost, const int64_t* a_orig,
+    const int64_t* chain_arc_off,  // [nchain+1] slices into the sorted arcs
+    // token streams, indexed by ORIGINAL arc id: vid part then tail part
+    const int32_t* arc_vid_idx,  // -1 = OOV (one unknown token)
+    const int32_t* arc_b_idx,    // index into the tail table
+    const int32_t* vid_tok, const int64_t* vid_tok_off,
+    const int32_t* tail_tok, const int64_t* tail_off,
+    int32_t nchain, const int32_t* nstates,
+    const int32_t* finals_flat, const int64_t* finals_off,
+    int32_t nbest, int64_t eps_base,  // orig ids >= eps_base are epsilon
+    const int64_t* bi_keys, const double* bi_contrib, int64_t n_bi,
+    double smoothing, int32_t bos, int32_t eos,
+    double lm_w, double vm_w, double ctx_w,
+    // outputs: the selected path per chain (original arc ids, forward
+    // order, epsilon arcs dropped)
+    int64_t* out_arcs, int64_t out_cap, int64_t* out_off) {
+    LmHash lm;
+    lm.build(bi_keys, bi_contrib, n_bi);
+    const double denom = lm_w + vm_w + ctx_w;
+
+    auto cand_cmp = [](const NbCand& x, const NbCand& y) {
+        if (x.cost != y.cost) return x.cost < y.cost;
+        if (x.arc_pos != y.arc_pos) return x.arc_pos < y.arc_pos;
+        return x.hidx < y.hidx;
+    };
+    auto final_cmp = [](const NbFinal& x, const NbFinal& y) {
+        if (x.cost != y.cost) return x.cost < y.cost;
+        if (x.state != y.state) return x.state < y.state;
+        return x.hidx < y.hidx;
+    };
+
+    std::vector<NbHyp> pool;
+    std::vector<int32_t> soff;
+    std::vector<NbCand> cand;
+    std::vector<NbFinal> fin;
+    std::vector<int32_t> path;
+    std::vector<double> perps;
+    int64_t out_n = 0;
+    out_off[0] = 0;
+
+    for (int32_t c = 0; c < nchain; c++) {
+        const int64_t alo = chain_arc_off[c], ahi = chain_arc_off[c + 1];
+        const int32_t nst = nstates[c];
+        pool.clear();
+        pool.push_back({0.0, -1, -1});
+        soff.assign((size_t)nst + 1, 0);
+        soff[1] = 1;
+        int64_t p = alo;
+        for (int32_t t = 1; t < nst; t++) {
+            cand.clear();
+            while (p < ahi && a_tgt[p] < t) p++;
+            while (p < ahi && a_tgt[p] == t) {
+                const int32_t s = a_src[p];
+                const int32_t h0 = soff[s], h1 = soff[s + 1];
+                const int32_t arc_pos = (int32_t)(p - alo);
+                const double ac = a_cost[p];
+                for (int32_t h = h0; h < h1; h++) {
+                    cand.push_back(
+                        {pool[h].cost + ac, arc_pos, h - h0, h});
+                }
+                p++;
+            }
+            if ((int64_t)cand.size() > nbest) {
+                std::nth_element(cand.begin(), cand.begin() + nbest,
+                                 cand.end(), cand_cmp);
+                cand.resize(nbest);
+            }
+            std::sort(cand.begin(), cand.end(), cand_cmp);
+            for (const NbCand& cd : cand) {
+                pool.push_back(
+                    {cd.cost, cd.prev, (int32_t)(alo + cd.arc_pos)});
+            }
+            soff[t + 1] = (int32_t)pool.size();
+        }
+
+        // final hypotheses: (cost, state, hidx) order, top nbest
+        fin.clear();
+        for (int64_t fi = finals_off[c]; fi < finals_off[c + 1]; fi++) {
+            const int32_t s = finals_flat[fi];
+            if (s < 1 || s >= nst) continue;
+            for (int32_t h = soff[s]; h < soff[s + 1]; h++) {
+                fin.push_back({pool[h].cost, s, h - soff[s], h});
+            }
+        }
+        if ((int64_t)fin.size() > nbest) {
+            std::nth_element(fin.begin(), fin.begin() + nbest, fin.end(),
+                             final_cmp);
+            fin.resize(nbest);
+        }
+        std::sort(fin.begin(), fin.end(), final_cmp);
+        if (fin.empty()) {
+            out_off[c + 1] = out_n;
+            continue;
+        }
+
+        // LM pass over every kept hypothesis
+        const size_t nk = fin.size();
+        perps.assign(nk, 0.0);
+        double best_perp = 999999.0;
+        double bvc = (double)(nst - 2) * 2.0;
+        for (size_t k = 0; k < nk; k++) {
+            path.clear();
+            for (int32_t h = fin[k].pool; pool[h].prev >= 0;
+                 h = pool[h].prev) {
+                path.push_back(pool[h].arc);
+            }
+            double lp = 0.0;
+            int64_t n = 0;
+            int32_t prev = bos;
+            auto step = [&](int32_t t1) {
+                if (prev >= 0 && t1 >= 0) {
+                    const int64_t key =
+                        ((int64_t)prev << 32) | (uint32_t)t1;
+                    double v;
+                    lp += lm.find(key, &v) ? v : smoothing;
+                } else {
+                    lp += smoothing;
+                }
+                n++;
+                prev = t1;
+            };
+            for (int64_t i = (int64_t)path.size() - 1; i >= 0; i--) {
+                const int64_t orig = a_orig[path[i]];
+                if (orig >= eps_base) continue;  // epsilon: no symbol
+                const int32_t vix = arc_vid_idx[orig];
+                if (vix < 0) {
+                    step(-1);  // OOV copies the input as one unknown token
+                } else {
+                    for (int64_t j = vid_tok_off[vix];
+                         j < vid_tok_off[vix + 1]; j++) {
+                        step(vid_tok[j]);
+                    }
+                }
+                const int32_t bix = arc_b_idx[orig];
+                for (int64_t j = tail_off[bix]; j < tail_off[bix + 1];
+                     j++) {
+                    step(tail_tok[j]);
+                }
+            }
+            step(eos);
+            const double perp = n ? (-1.0 / (double)n) * lp : 0.0;
+            perps[k] = perp;
+            if (perp < best_perp) best_perp = perp;
+            if (fin[k].cost < bvc) bvc = fin[k].cost;
+        }
+
+        // weighted log-space selection, first maximum wins
+        double best_score = -99999999.0;
+        int64_t best_k = -1;
+        for (size_t k = 0; k < nk; k++) {
+            const double norm_lm = std::log(best_perp / perps[k]);
+            const double cost = fin[k].cost;
+            double nvs;
+            if (cost <= 0.0) {
+                nvs = 0.0;
+            } else if (bvc <= 0.0) {
+                nvs = -INFINITY;
+            } else {
+                nvs = std::log(bvc / cost);
+            }
+            const double score =
+                (lm_w * norm_lm + vm_w * nvs + ctx_w * 0.0) / denom;
+            if (score > best_score || best_k < 0) {
+                best_score = score;
+                best_k = (int64_t)k;
+            }
+        }
+
+        path.clear();
+        for (int32_t h = fin[best_k].pool; pool[h].prev >= 0;
+             h = pool[h].prev) {
+            path.push_back(pool[h].arc);
+        }
+        for (int64_t i = (int64_t)path.size() - 1; i >= 0; i--) {
+            const int64_t orig = a_orig[path[i]];
+            if (orig >= eps_base) continue;
+            if (out_n >= out_cap) return -1;
+            out_arcs[out_n++] = orig;
+        }
+        out_off[c + 1] = out_n;
+    }
+    return out_n;
 }
 
 }  // extern "C"

@@ -246,6 +246,37 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int64,  # caps_s, caps_u
             ctypes.POINTER(ctypes.c_int64),  # out_counts [4]
         ]
+        lib.ananorm_nbest_lm.restype = ctypes.c_int64
+        lib.ananorm_nbest_lm.argtypes = [
+            ctypes.c_int64,                   # n_arcs (sorted)
+            ctypes.POINTER(ctypes.c_int32),   # a_chain
+            ctypes.POINTER(ctypes.c_int32),   # a_src
+            ctypes.POINTER(ctypes.c_int32),   # a_tgt
+            ctypes.POINTER(ctypes.c_double),  # a_cost
+            ctypes.POINTER(ctypes.c_int64),   # a_orig
+            ctypes.POINTER(ctypes.c_int64),   # chain_arc_off
+            ctypes.POINTER(ctypes.c_int32),   # arc_vid_idx
+            ctypes.POINTER(ctypes.c_int32),   # arc_b_idx
+            ctypes.POINTER(ctypes.c_int32),   # vid_tok
+            ctypes.POINTER(ctypes.c_int64),   # vid_tok_off
+            ctypes.POINTER(ctypes.c_int32),   # tail_tok
+            ctypes.POINTER(ctypes.c_int64),   # tail_off
+            ctypes.c_int32,                   # nchain
+            ctypes.POINTER(ctypes.c_int32),   # nstates
+            ctypes.POINTER(ctypes.c_int32),   # finals_flat
+            ctypes.POINTER(ctypes.c_int64),   # finals_off
+            ctypes.c_int32,                   # nbest
+            ctypes.c_int64,                   # eps_base
+            ctypes.POINTER(ctypes.c_int64),   # bi_keys
+            ctypes.POINTER(ctypes.c_double),  # bi_contrib
+            ctypes.c_int64,                   # n_bi
+            ctypes.c_double,                  # smoothing
+            ctypes.c_int32, ctypes.c_int32,   # bos, eos
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,  # weights
+            ctypes.POINTER(ctypes.c_int64),   # out_arcs
+            ctypes.c_int64,                   # out_cap
+            ctypes.POINTER(ctypes.c_int64),   # out_off
+        ]
         _lib = lib
         return _lib
 
@@ -803,3 +834,79 @@ class NativeConfusables:
         if r < 0:
             raise RuntimeError("confusable weight computation failed")
         return out
+
+
+def nbest_lm_native(
+    arcs_sorted,  # (a_chain i32, a_src i32, a_tgt i32, a_cost f64, a_orig i64)
+    chain_arc_off: "np.ndarray",  # int64 [nchain+1]
+    arc_vid_idx: "np.ndarray",  # int32 per ORIGINAL arc (-1 = OOV)
+    arc_b_idx: "np.ndarray",  # int32 per ORIGINAL arc
+    vid_tok: "np.ndarray",
+    vid_tok_off: "np.ndarray",
+    tail_tok: "np.ndarray",
+    tail_off: "np.ndarray",
+    nstates: "np.ndarray",  # int32 [nchain]
+    finals_flat: "np.ndarray",
+    finals_off: "np.ndarray",
+    nbest: int,
+    eps_base: int,
+    bi_keys: "np.ndarray",
+    bi_contrib: "np.ndarray",
+    smoothing: float,
+    bos: int,
+    eos: int,
+    lm_w: float,
+    vm_w: float,
+    ctx_w: float,
+):
+    """Native n-best + LM lattice decode (ananorm_nbest_lm); returns
+    (out_arcs, out_off) — selected original arc ids per chain, forward
+    order, epsilon arcs dropped — or None when the library is absent."""
+    lib = _load()
+    if lib is None:
+        return None
+    a_chain, a_src, a_tgt, a_cost, a_orig = (
+        np.ascontiguousarray(a, dt)
+        for a, dt in zip(
+            arcs_sorted,
+            (np.int32, np.int32, np.int32, np.float64, np.int64),
+        )
+    )
+    chain_arc_off = np.ascontiguousarray(chain_arc_off, np.int64)
+    arc_vid_idx = np.ascontiguousarray(arc_vid_idx, np.int32)
+    arc_b_idx = np.ascontiguousarray(arc_b_idx, np.int32)
+    vid_tok = np.ascontiguousarray(vid_tok, np.int32)
+    vid_tok_off = np.ascontiguousarray(vid_tok_off, np.int64)
+    tail_tok = np.ascontiguousarray(tail_tok, np.int32)
+    tail_off = np.ascontiguousarray(tail_off, np.int64)
+    nstates = np.ascontiguousarray(nstates, np.int32)
+    finals_flat = np.ascontiguousarray(finals_flat, np.int32)
+    finals_off = np.ascontiguousarray(finals_off, np.int64)
+    bi_keys = np.ascontiguousarray(bi_keys, np.int64)
+    bi_contrib = np.ascontiguousarray(bi_contrib, np.float64)
+    nchain = len(nstates)
+    out_cap = int(nstates.sum()) + 1
+    out_arcs = np.empty(out_cap, np.int64)
+    out_off = np.empty(nchain + 1, np.int64)
+    n = lib.ananorm_nbest_lm(
+        int(len(a_chain)),
+        _ptr(a_chain, ctypes.c_int32), _ptr(a_src, ctypes.c_int32),
+        _ptr(a_tgt, ctypes.c_int32), _ptr(a_cost, ctypes.c_double),
+        _ptr(a_orig, ctypes.c_int64),
+        _ptr(chain_arc_off, ctypes.c_int64),
+        _ptr(arc_vid_idx, ctypes.c_int32), _ptr(arc_b_idx, ctypes.c_int32),
+        _ptr(vid_tok, ctypes.c_int32), _ptr(vid_tok_off, ctypes.c_int64),
+        _ptr(tail_tok, ctypes.c_int32), _ptr(tail_off, ctypes.c_int64),
+        nchain, _ptr(nstates, ctypes.c_int32),
+        _ptr(finals_flat, ctypes.c_int32), _ptr(finals_off, ctypes.c_int64),
+        int(nbest), int(eps_base),
+        _ptr(bi_keys, ctypes.c_int64), _ptr(bi_contrib, ctypes.c_double),
+        int(len(bi_keys)),
+        float(smoothing), int(bos), int(eos),
+        float(lm_w), float(vm_w), float(ctx_w),
+        _ptr(out_arcs, ctypes.c_int64), out_cap,
+        _ptr(out_off, ctypes.c_int64),
+    )
+    if n < 0:
+        return None
+    return out_arcs[: int(n)], out_off

@@ -611,3 +611,88 @@ def test_native_segmentation_equals_python():
             else nat.segments
         )
         assert nat_segs == py.segments
+
+
+def test_fast_consolidation_lm_equals_object_path():
+    """LM-mode array-native decode (search_fast._consolidate_lm) vs the
+    object path (most_likely_sequence with n-best + LM rescoring,
+    lib.rs:2088-2495): bit-identical selections, offsets, variants —
+    including n-best truncation ties (small max_seq), OOV-heavy chains,
+    freq blending, unicode offsets, and non-ASCII texts."""
+    import random as _random
+
+    alphabet, _ = get_test_alphabet()
+    model = VariantModel.new_with_alphabet(alphabet, Weights(), 0)
+    words = [
+        "rites", "tiers", "tires", "tries", "tyres", "rides", "brides",
+        "dire", "bride", "to", "happy", "earth", "wide", "world", "again",
+        "point", "appoint", "are", "right", "over", "under", "the",
+    ]
+    rng = _random.Random(23)
+    for w in words:
+        model.add_to_vocabulary(w, rng.randrange(1, 50), VocabParams())
+    # LM: bigrams over word pairs (space-joined entries become 2-grams in
+    # build; unseen unigram parts are auto-added)
+    lmp = VocabParams(vocab_type=VocabType.LM)
+    for _ in range(60):
+        a, b = rng.choice(words), rng.choice(words)
+        model.add_to_vocabulary(f"{a} {b}", rng.randrange(1, 20), lmp)
+    model.build()
+    model.set_backend("device")
+
+    def corrupt(w):
+        if len(w) > 3 and rng.random() < 0.6:
+            i = rng.randrange(len(w) - 1)
+            return w[:i] + w[i + 1] + w[i] + w[i + 2:]
+        return w
+
+    texts = []
+    for _ in range(30):
+        n = rng.randrange(1, 9)
+        parts = [corrupt(rng.choice(words)) for _ in range(n)]
+        sep = rng.choice([" ", " ", ", ", ". ", " - "])
+        texts.append(sep.join(parts) + rng.choice(["", ".", "!", "?!"]))
+    texts.append("")
+    texts.append("xyzq gmbh qqq")  # heavy OOV
+    texts.append("are rihgt")  # the reference's LM-driven bigram case
+    texts.append("naïve tires — rites")  # non-ASCII unit
+
+    def signature(outs):
+        return [
+            [
+                (
+                    m.text, m.offset.begin, m.offset.end, m.selected, m.n,
+                    None
+                    if m.variants is None
+                    else [
+                        (r.vocab_id, r.dist_score, r.freq_score, r.via)
+                        for r in m.variants
+                    ],
+                )
+                for m in out
+            ]
+            for out in outs
+        ]
+
+    from analiticcl_tpu.models import search_fast
+
+    for max_seq, fw, uoff in [(250, 0.0, False), (3, 0.0, False),
+                              (50, 1.0, True), (1, 0.0, False)]:
+        params = dataclasses.replace(
+            get_test_searchparams(), max_ngram=2, lm_weight=1.0,
+            max_seq=max_seq, freq_weight=fw, unicodeoffsets=uoff,
+        )
+        model.fast_consolidate = False
+        legacy = signature(list(model.find_all_matches_stream(texts, params)))
+        model.fast_consolidate = True
+        # both decoders: the C++ ananorm_nbest_lm and the numpy lockstep
+        for force_numpy in (False, True):
+            old = search_fast.FORCE_NUMPY_LM
+            search_fast.FORCE_NUMPY_LM = force_numpy
+            try:
+                fast = signature(
+                    list(model.find_all_matches_stream(texts, params))
+                )
+            finally:
+                search_fast.FORCE_NUMPY_LM = old
+            assert fast == legacy, (max_seq, fw, uoff, force_numpy)

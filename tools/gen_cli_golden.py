@@ -19,7 +19,12 @@ sys.path.insert(
 )
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
-from cli_golden_cases import FIXDIR, cases, small_lexicon  # noqa: E402
+from cli_golden_cases import (  # noqa: E402
+    FIXDIR,
+    cases,
+    fixture_bytes,
+    small_lexicon,
+)
 
 
 def main():
@@ -28,7 +33,7 @@ def main():
     os.makedirs(FIXDIR, exist_ok=True)
     with tempfile.TemporaryDirectory() as tmp:
         lex = small_lexicon(tmp)
-        for name, argv, stdin_lines in cases(lex):
+        for name, argv, stdin_lines, extra in cases(lex):
             buf = io.StringIO()
             stdin = io.StringIO("\n".join(stdin_lines) + "\n")
             old_stdin = sys.stdin
@@ -39,7 +44,7 @@ def main():
             finally:
                 sys.stdin = old_stdin
             assert rc == 0, (name, rc)
-            out = buf.getvalue()
+            out = fixture_bytes(buf.getvalue(), extra)
             path = os.path.join(FIXDIR, name)
             with open(path, "w", encoding="utf-8") as f:
                 f.write(out)
