@@ -24,7 +24,11 @@ from analiticcl_tpu.vocab import VocabParams, VocabType
 ALPHABET = "/root/reference/examples/simple.alphabet.tsv"
 ENG = "/root/reference/examples/eng.aspell.lexicon"
 NLD = "/root/reference/examples/nld.aspell.lexicon"
-BUDGET_S = 30.0  # per-scenario steady-state measurement budget
+import os
+
+# per-scenario steady-state measurement budget (env-overridable for quick
+# smoke runs and tight outage windows)
+BUDGET_S = float(os.environ.get("ANALITICCL_BUDGET_S", "30"))
 
 
 def log(*a):
@@ -58,10 +62,45 @@ def _model(lexicon):
     return model, build_s
 
 
+def _util_snap(model):
+    """Snapshot for the utilization meter: (wall, host process-CPU, stage
+    totals of the device pipeline). The 'device' stage accumulates time the
+    host spends BLOCKED on device results — with the host busy in between,
+    it approximates the device-bound fraction of the wall clock."""
+    pipe = getattr(model, "_device", None)
+    stats = dict(pipe.stats.totals) if pipe is not None else {}
+    return time.time(), time.process_time(), stats
+
+
+def _util_report(model, snap):
+    """Per-scenario utilization: host CPU fraction and device-wait fraction
+    of the measured wall interval (VERDICT r3 directive: the suite must say
+    how busy each side is, not just items/sec)."""
+    wall0, cpu0, st0 = snap
+    wall = time.time() - wall0
+    if wall <= 0:
+        return {}
+    pipe = getattr(model, "_device", None)
+    st1 = dict(pipe.stats.totals) if pipe is not None else {}
+    dev_wait = st1.get("device", 0.0) - st0.get("device", 0.0)
+    out = {
+        "host_cpu_frac": round((time.process_time() - cpu0) / wall, 3),
+        "device_wait_frac": round(dev_wait / wall, 3),
+    }
+    tail = sum(
+        st1.get(k, 0.0) - st0.get(k, 0.0)
+        for k in ("host_tail", "tail_native")
+    )
+    if tail:
+        out["rank_tail_frac"] = round(tail / wall, 3)
+    return out
+
+
 def _throughput(model, queries, params, budget_s=None, batch=4096):
     """Steady-state q/s: ONE continuous warm stream that cycles the query
     set until the time budget is met (a stream shorter than the budget
-    would make pipeline fill/drain latency dominate the measurement)."""
+    would make pipeline fill/drain latency dominate the measurement).
+    Returns (qps, utilization dict)."""
     budget_s = BUDGET_S if budget_s is None else budget_s
     model.find_variants_batch(queries[:batch], params)  # compile
     model.find_variants_batch(queries[:batch], params)  # settle budgets
@@ -73,13 +112,15 @@ def _throughput(model, queries, params, budget_s=None, batch=4096):
         while True:
             yield from queries
 
+    snap = _util_snap(model)
     t0 = time.time()
     done = 0
     for _res in model.find_variants_stream(cycle(), params, batch_size=batch):
         done += 1
         if done % batch == 0 and time.time() - t0 > budget_s:
             break
-    return done / (time.time() - t0)
+    qps = done / (time.time() - t0)
+    return qps, _util_report(model, snap)
 
 
 def query_eng():
@@ -92,8 +133,9 @@ def query_eng():
         max_edit_distance=DistanceThreshold.absolute(2),
         max_matches=10,
     )
-    qps = _throughput(model, queries, params)
-    return {"scenario": "query_eng", "qps": round(qps, 1), "build_s": round(build_s, 2)}
+    qps, util = _throughput(model, queries, params)
+    return {"scenario": "query_eng", "qps": round(qps, 1),
+            "build_s": round(build_s, 2), **util}
 
 
 def query_ratio():
@@ -109,11 +151,12 @@ def query_ratio():
         max_edit_distance=DistanceThreshold.ratio_of(0.3),
         max_matches=10,
     )
-    qps = _throughput(model, queries, params)
+    qps, util = _throughput(model, queries, params)
     return {
         "scenario": "query_ratio",
         "qps": round(qps, 1),
         "build_s": round(build_s, 2),
+        **util,
     }
 
 
@@ -129,11 +172,12 @@ def query_nld_freq():
         max_matches=10,
         freq_weight=1.0,
     )
-    qps = _throughput(model, queries, params)
+    qps, util = _throughput(model, queries, params)
     return {
         "scenario": "query_nld_freq",
         "qps": round(qps, 1),
         "build_s": round(build_s, 2),
+        **util,
     }
 
 
@@ -166,6 +210,7 @@ def search_text():
             yield from groups
 
     budget_s = BUDGET_S
+    snap = _util_snap(model)
     t0 = time.time()
     done_tokens = 0
     matches = 0
@@ -175,11 +220,13 @@ def search_text():
         if gi % len(groups) == len(groups) - 1 and time.time() - t0 > budget_s:
             break
     dt = time.time() - t0
+    util = _util_report(model, snap)
     return {
         "scenario": "search_text",
         "tokens_per_s": round(done_tokens / dt, 1),
         "matches": matches,
         "build_s": round(build_s, 2),
+        **util,
     }
 
 
@@ -229,6 +276,7 @@ def search_lm():
         while True:
             yield from groups
 
+    snap = _util_snap(model)
     t0 = time.time()
     done_tokens = 0
     matches = 0
@@ -238,11 +286,13 @@ def search_lm():
         if gi % len(groups) == len(groups) - 1 and time.time() - t0 > BUDGET_S:
             break
     dt = time.time() - t0
+    util = _util_report(model, snap)
     return {
         "scenario": "search_lm",
         "tokens_per_s": round(done_tokens / dt, 1),
         "matches": matches,
         "build_s": round(build_s, 2),
+        **util,
     }
 
 
@@ -321,12 +371,13 @@ def build_1m():
     # B=1024 measures faster than 2048 at 1M rows on a single chip: the
     # full-band mask and the pair-budget [P] stages scale superlinearly with
     # the batch while the tunnel RTT amortization has already flattened
-    qps = _throughput(model, queries, params, budget_s=40.0, batch=1024)
+    qps, util = _throughput(model, queries, params, budget_s=40.0, batch=1024)
     return {
         "scenario": "build_1m",
         "load_s": round(load_s, 2),
         "build_s": round(build_s, 2),
         "qps": round(qps, 1),
+        **util,
     }
 
 
@@ -358,7 +409,7 @@ def confusables_errors():
         max_edit_distance=DistanceThreshold.absolute(2),
         max_matches=10,
     )
-    qps = _throughput(model, queries, params)
+    qps, util = _throughput(model, queries, params)
     res = model.find_variants_batch(["thier"], params)[0]
     top = model.decoder[res[0].vocab_id].text if res else None
     return {
@@ -366,6 +417,7 @@ def confusables_errors():
         "qps": round(qps, 1),
         "build_s": round(build_s, 2),
         "thier_top": top,
+        **util,
     }
 
 
