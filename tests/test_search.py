@@ -631,12 +631,19 @@ def test_fast_consolidation_lm_equals_object_path():
     rng = _random.Random(23)
     for w in words:
         model.add_to_vocabulary(w, rng.randrange(1, 50), VocabParams())
+    # multi-word INDEXED entries: their arcs expand to multi-token LM
+    # streams (into_ngram > 1 token)
+    model.add_to_vocabulary("wide world", 9, VocabParams())
+    model.add_to_vocabulary("are right", 7, VocabParams())
     # LM: bigrams over word pairs (space-joined entries become 2-grams in
     # build; unseen unigram parts are auto-added)
     lmp = VocabParams(vocab_type=VocabType.LM)
     for _ in range(60):
         a, b = rng.choice(words), rng.choice(words)
         model.add_to_vocabulary(f"{a} {b}", rng.randrange(1, 20), lmp)
+    # punctuation as an LM vocab entry: "." boundaries then encode to a
+    # real token (the bvid branch of the boundary-tail expansion)
+    model.add_to_vocabulary(".", 5, lmp)
     model.build()
     model.set_backend("device")
 
