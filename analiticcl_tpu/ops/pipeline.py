@@ -1547,14 +1547,27 @@ class DevicePipeline:
             with self.stats.stage("tail_emit"):
                 elig_row = np.zeros(B, dtype=bool)
                 elig_row[:nrows] = elig_u8.view(bool)
+                # survivors are seg-major in final rank order: bulk-convert
+                # once and slice per row; map() beats a per-survivor
+                # zip/append loop ~2x on the 40k-object batches query mode
+                # materializes (via defaults to None)
+                sbounds = np.searchsorted(
+                    r_seg[:n_out], np.arange(nrows + 1)
+                ).tolist()
+                vid_l = r_vid[:n_out].tolist()
+                ds_l = r_ds[:n_out].tolist()
+                fq_l = r_fq[:n_out].tolist()
                 batch_res: List[List[VariantResult]] = [
-                    [] for _ in range(nrows)
+                    list(
+                        map(
+                            VariantResult,
+                            vid_l[sbounds[g] : sbounds[g + 1]],
+                            ds_l[sbounds[g] : sbounds[g + 1]],
+                            fq_l[sbounds[g] : sbounds[g + 1]],
+                        )
+                    )
+                    for g in range(nrows)
                 ]
-                for g, v, dv, fv in zip(
-                    r_seg[:n_out].tolist(), r_vid[:n_out].tolist(),
-                    r_ds[:n_out].tolist(), r_fq[:n_out].tolist(),
-                ):
-                    batch_res[g].append(VariantResult(v, dv, fv, None))
                 self._late_conf_and_finalize(
                     results, active, inputs, params, batch_res, elig_row,
                     late_conf, nrows,
