@@ -11,6 +11,7 @@ Scenarios: query_eng, query_nld_freq, search_text, learn, build_1m
 from __future__ import annotations
 
 import json
+import os
 import random
 import sys
 import time
@@ -24,7 +25,6 @@ from analiticcl_tpu.vocab import VocabParams, VocabType
 ALPHABET = "/root/reference/examples/simple.alphabet.tsv"
 ENG = "/root/reference/examples/eng.aspell.lexicon"
 NLD = "/root/reference/examples/nld.aspell.lexicon"
-import os
 
 # per-scenario steady-state measurement budget (env-overridable for quick
 # smoke runs and tight outage windows)
@@ -210,11 +210,14 @@ def search_text():
             yield from groups
 
     budget_s = BUDGET_S
+    depth = int(os.environ.get("ANALITICCL_SEARCH_DEPTH", "2"))
     snap = _util_snap(model)
     t0 = time.time()
     done_tokens = 0
     matches = 0
-    for gi, out in enumerate(model.find_all_matches_stream(cycle(), params)):
+    for gi, out in enumerate(
+        model.find_all_matches_stream(cycle(), params, depth=depth)
+    ):
         done_tokens += tokens_of[gi % len(groups)]
         matches += len(out)
         if gi % len(groups) == len(groups) - 1 and time.time() - t0 > budget_s:
@@ -276,11 +279,14 @@ def search_lm():
         while True:
             yield from groups
 
+    depth = int(os.environ.get("ANALITICCL_SEARCH_DEPTH", "2"))
     snap = _util_snap(model)
     t0 = time.time()
     done_tokens = 0
     matches = 0
-    for gi, out in enumerate(model.find_all_matches_stream(cycle(), params)):
+    for gi, out in enumerate(
+        model.find_all_matches_stream(cycle(), params, depth=depth)
+    ):
         done_tokens += tokens_of[gi % len(groups)]
         matches += len(out)
         if gi % len(groups) == len(groups) - 1 and time.time() - t0 > BUDGET_S:
