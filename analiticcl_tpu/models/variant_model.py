@@ -786,14 +786,18 @@ class VariantModel:
         execution: the device computes batch N+1 while the host ranks batch N
         (hides remote-TPU round trips). Falls back to plain batching on the
         oracle backend."""
+        from itertools import islice
+
         backend = self._backend
         if backend == "auto":
             backend = "device" if (self.index and self.index.size >= 64) else "oracle"
         if backend != "device":
-            for start in range(0, len(inputs), batch_size):
-                for res in self.find_variants_batch(
-                    inputs[start : start + batch_size], params
-                ):
+            it = iter(inputs)
+            while True:
+                chunk = list(islice(it, batch_size))
+                if not chunk:
+                    return
+                for res in self.find_variants_batch(chunk, params):
                     yield res
             return
         if self._device is None:
@@ -802,11 +806,20 @@ class VariantModel:
             self._device = get_device_pipeline(self)
         # huge lexicons cap the per-call batch (see DevicePipeline.max_B)
         batch_size = min(batch_size, self._device.max_B)
-        batches = (
-            inputs[start : start + batch_size]
-            for start in range(0, len(inputs), batch_size)
-        )
-        for batch_results in self._device.find_variants_stream(batches, params):
+        it = iter(inputs)
+
+        def batches():
+            # islice chunking: accepts plain lists AND unsized iterables
+            # (the suite's steady-state stream cycles a generator)
+            while True:
+                chunk = list(islice(it, batch_size))
+                if not chunk:
+                    return
+                yield chunk
+
+        for batch_results in self._device.find_variants_stream(
+            batches(), params
+        ):
             for res in batch_results:
                 yield res
 

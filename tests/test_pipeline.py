@@ -388,3 +388,26 @@ def test_native_rank_tail_equals_numpy_tail(eng_model):
             assert _result_tuples(eng_model, g) == _result_tuples(
                 eng_model, w
             ), q
+
+
+def test_find_variants_stream_accepts_generators(eng_model):
+    """The steady-state benchmark stream cycles a GENERATOR through
+    find_variants_stream; chunking must not require len() (regression:
+    the suite's query scenarios crashed on unsized iterables)."""
+    params = SearchParameters(
+        max_anagram_distance=DistanceThreshold.absolute(3),
+        max_edit_distance=DistanceThreshold.absolute(2),
+        max_matches=10,
+    )
+    eng_model.set_backend("device")
+    streamed = [
+        _result_tuples(eng_model, res)
+        for res in eng_model.find_variants_stream(
+            (q for q in QUERIES), params, batch_size=4
+        )
+    ]
+    batched = [
+        _result_tuples(eng_model, res)
+        for res in eng_model.find_variants_batch(QUERIES, params)
+    ]
+    assert streamed == batched
