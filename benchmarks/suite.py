@@ -96,12 +96,14 @@ def _util_report(model, snap):
     return out
 
 
-def _throughput(model, queries, params, budget_s=None, batch=4096):
+def _throughput(model, queries, params, budget_s=None, batch=None):
     """Steady-state q/s: ONE continuous warm stream that cycles the query
     set until the time budget is met (a stream shorter than the budget
     would make pipeline fill/drain latency dominate the measurement).
     Returns (qps, utilization dict)."""
     budget_s = BUDGET_S if budget_s is None else budget_s
+    if batch is None:  # device-batch knob (tools/sweep_knobs.py tunes it)
+        batch = int(os.environ.get("ANALITICCL_QUERY_BATCH", "4096"))
     model.find_variants_batch(queries[:batch], params)  # compile
     model.find_variants_batch(queries[:batch], params)  # settle budgets
     tail = len(queries) % batch
