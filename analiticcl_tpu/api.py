@@ -15,6 +15,7 @@ maps to the batched device pipeline.
 
 from __future__ import annotations
 
+import sys as _sys
 from typing import Dict, List, Optional, Sequence
 
 from .models.variant_model import VariantModel as _EngineModel
@@ -39,7 +40,8 @@ class Weights:
             if key in self._FIELDS:
                 setattr(self._w, key, float(value))
             else:
-                raise ValueError(f"Unknown keyword argument: {key}")
+                # reference warns and ignores (bindings lib.rs:49)
+                print(f"Ignored unknown kwargs option {key}", file=_sys.stderr)
 
     def __getattr__(self, name):
         if name in Weights._FIELDS:
@@ -105,7 +107,8 @@ class SearchParameters:
             elif key in self._FIELDS:
                 setattr(self._p, key, value)
             else:
-                raise ValueError(f"Unknown keyword argument: {key}")
+                # reference warns and ignores (bindings lib.rs:255)
+                print(f"Ignored unknown kwargs option {key}", file=_sys.stderr)
 
     @property
     def data(self) -> _SearchParameters:

@@ -47,8 +47,9 @@ def test_weights_kwargs_and_attrs():
     assert w.lcs == 0.5
     w.prefix = 0.25
     assert w.to_dict()["prefix"] == 0.25
-    with pytest.raises(ValueError):
-        Weights(bogus=1)
+    # reference warns and ignores unknown kwargs (bindings lib.rs:49)
+    w2 = Weights(bogus=1)
+    assert w2.to_dict() == Weights().to_dict()
 
 
 def test_searchparameters_kwargs_and_threshold_coercion():
