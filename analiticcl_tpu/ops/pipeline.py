@@ -48,7 +48,7 @@ from __future__ import annotations
 
 import sys
 from functools import partial
-from typing import List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -1028,6 +1028,45 @@ class DevicePipeline:
                 self._hint_key(B), (self._P_by_B[B], self._P2_by_B[B])
             )
 
+    # fused-kernel time scales with the static P budget (stage B grids over
+    # the whole budget), so an over-escalated budget taxes every later batch:
+    # a stale 1,572,864 hint vs the ~390k this workload needs measured 228 ms
+    # vs 76 ms per 4096-batch. Budgets therefore also step DOWN: after
+    # DEESC_N consecutive non-overflow batches, if the window's max totals
+    # fit a lower bucket with DEESC_MARGIN headroom, shrink and re-persist.
+    # The one-time recompile this costs is far smaller than the steady tax.
+    DEESC_N = 6
+    DEESC_MARGIN = 1.3
+
+    def _deesc_reset(self, B: int) -> None:
+        if not hasattr(self, "_obs_max"):  # subclasses skip our __init__
+            self._obs_max: Dict[int, Tuple[int, int]] = {}
+            self._obs_n: Dict[int, int] = {}
+        self._obs_max[B] = (0, 0)
+        self._obs_n[B] = 0
+
+    def _observe_totals(self, B: int, total_match: int, total_keep: int) -> None:
+        if not hasattr(self, "_obs_max"):
+            self._deesc_reset(B)
+        m, k = self._obs_max.get(B, (0, 0))
+        self._obs_max[B] = (max(m, total_match), max(k, total_keep))
+        self._obs_n[B] = self._obs_n.get(B, 0) + 1
+        if self._obs_n[B] < self.DEESC_N:
+            return
+        m, k = self._obs_max[B]
+        self._deesc_reset(B)
+        P, P2 = self._budgets(B)
+        P_new = _bucket(
+            max(int(m * self.DEESC_MARGIN), P_BUCKETS[0]), P_BUCKETS
+        )
+        P2_new = _bucket(
+            max(int(k * self.DEESC_MARGIN), P2_BUCKETS[0]), P2_BUCKETS
+        )
+        if P_new < P or P2_new < P2:
+            self._P_by_B[B] = min(P, P_new)
+            self._P2_by_B[B] = min(P2, P2_new)
+            self._record_budgets(B)
+
     def _submit_fused(
         self, args, window: int, nb_band: int, use_stop_exact: bool = True
     ):
@@ -1434,16 +1473,25 @@ class DevicePipeline:
             o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case,
             max_freq, total_match, total_keep,
         ) = self._finalize_fused(state["out"])
+        # compare against the budgets THIS buffer actually ran with: under
+        # depth-2 streaming a de-escalation between submit and collect must
+        # not read as a (phantom) overflow of the shrunken current budget
+        P = state.get("submit_P", self._budgets(B)[0])
+        P2 = state.get("submit_P2", self._budgets(B)[1])
         while True:
-            P, P2 = self._budgets(B)
             overflowed = False
             if total_match > P and P < P_BUCKETS[-1]:
-                self._P_by_B[B] = _bucket(total_match, P_BUCKETS)
+                self._P_by_B[B] = max(
+                    self._P_by_B[B], _bucket(total_match, P_BUCKETS)
+                )
                 overflowed = True
             if total_keep > P2 and P2 < P2_BUCKETS[-1]:
-                self._P2_by_B[B] = _bucket(total_keep, P2_BUCKETS)
+                self._P2_by_B[B] = max(
+                    self._P2_by_B[B], _bucket(total_keep, P2_BUCKETS)
+                )
                 overflowed = True
             if overflowed:
+                self._deesc_reset(B)
                 self._record_budgets(B)
             if not overflowed:
                 if total_match > P or total_keep > P2:
@@ -1467,8 +1515,10 @@ class DevicePipeline:
                 o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case,
                 max_freq, total_match, total_keep,
             ) = self._run_fused(args, window, nb_band, state["use_stop_exact"])
+            P, P2 = self._budgets(B)
 
         dev_cm.__exit__(None, None, None)
+        self._observe_totals(B, total_match, total_keep)
 
         tail_cm = self.stats.stage("host_tail")
         tail_cm.__enter__()

@@ -362,10 +362,21 @@ def main():
             t0 = time.time()
             model.find_variants_batch(queries[:B], params)
             log(f"warmup (compile): {time.time() - t0:.1f}s")
-            # second warmup in case the pair budget escalated
-            t0 = time.time()
-            model.find_variants_batch(queries[:B], params)
-            log(f"warm batch: {time.time() - t0:.3f}s")
+            # keep warming until the pair budgets settle (escalation on
+            # overflow AND de-escalation from a stale oversized hint both
+            # recompile; that stall must land here, not in a measured window)
+            pipe = model._device
+            for i in range(2 + pipe.DEESC_N):
+                before = (dict(pipe._P_by_B), dict(pipe._P2_by_B))
+                t0 = time.time()
+                model.find_variants_batch(queries[:B], params)
+                dt = time.time() - t0
+                if (dict(pipe._P_by_B), dict(pipe._P2_by_B)) != before:
+                    log(
+                        f"warm batch {i}: {dt:.3f}s (budgets re-settled: "
+                        f"P={pipe._P_by_B} P2={pipe._P2_by_B})"
+                    )
+            log(f"warm batch: {dt:.3f}s")
     except TimeoutError as e:
         log(str(e))
         emit_outage_fallback("tunnel died during measurement warmup")

@@ -87,10 +87,9 @@ def _util_report(model, snap):
         "host_cpu_frac": round((time.process_time() - cpu0) / wall, 3),
         "device_wait_frac": round(dev_wait / wall, 3),
     }
-    tail = sum(
-        st1.get(k, 0.0) - st0.get(k, 0.0)
-        for k in ("host_tail", "tail_native")
-    )
+    # tail_native nests inside the host_tail span — counting both would
+    # double-count the native part (r04 logs did exactly that)
+    tail = st1.get("host_tail", 0.0) - st0.get("host_tail", 0.0)
     if tail:
         out["rank_tail_frac"] = round(tail / wall, 3)
     return out

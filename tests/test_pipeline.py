@@ -411,3 +411,47 @@ def test_find_variants_stream_accepts_generators(eng_model):
         for res in eng_model.find_variants_batch(QUERIES, params)
     ]
     assert streamed == batched
+
+
+def test_budget_deescalation(eng_model, monkeypatch):
+    """A stale oversized pair-budget hint must step back down after a window
+    of small batches (kernel time scales with the static P budget: a
+    1,572,864 hint vs the ~390k a workload needs measured 3x slower), and
+    results must stay oracle-exact through the recompile."""
+    from analiticcl_tpu.ops import pipeline as pl_mod
+    from analiticcl_tpu.ops.pipeline import get_device_pipeline
+
+    # a short ladder keeps the top-bucket CPU compile cheap (the real
+    # ladder's 1.5M-pair top bucket compiles for minutes on CPU)
+    monkeypatch.setattr(pl_mod, "P_BUCKETS", (8192, 16384, 32768))
+    monkeypatch.setattr(pl_mod, "P2_BUCKETS", (2048, 4096, 8192))
+    P_BUCKETS = pl_mod.P_BUCKETS
+    P2_BUCKETS = pl_mod.P2_BUCKETS
+
+    params = SearchParameters(
+        max_anagram_distance=DistanceThreshold.absolute(3),
+        max_edit_distance=DistanceThreshold.absolute(2),
+        max_matches=10,
+        score_threshold=0.25,
+    )
+    eng_model.set_backend("oracle")
+    want = [
+        _result_tuples(eng_model, eng_model.find_variants(q, params))
+        for q in QUERIES
+    ]
+    pipe = get_device_pipeline(eng_model)
+    pipe.find_variants_batch(QUERIES, params)  # init the B bucket
+    (B,) = pipe._P_by_B.keys()
+    # simulate the stale hint: start at the top buckets
+    pipe._P_by_B[B] = P_BUCKETS[-1]
+    pipe._P2_by_B[B] = P2_BUCKETS[-1]
+    pipe._deesc_reset(B)
+    for _ in range(pipe.DEESC_N):
+        got = pipe.find_variants_batch(QUERIES, params)
+        assert [_result_tuples(eng_model, g) for g in got] == want
+    # window elapsed: budgets stepped down to what the batches actually need
+    assert pipe._P_by_B[B] < P_BUCKETS[-1]
+    assert pipe._P2_by_B[B] < P2_BUCKETS[-1]
+    # and the shrunken program still returns exact results
+    got = pipe.find_variants_batch(QUERIES, params)
+    assert [_result_tuples(eng_model, g) for g in got] == want
