@@ -1015,8 +1015,10 @@ class VariantModel:
                     max_freq = result.freq_score
 
         if max_freq > 0.0:
-            for result in results:
-                result.freq_score = result.freq_score / max_freq
+            for i, result in enumerate(results):
+                results[i] = VariantResult(
+                    result[0], result[1], result[2] / max_freq, result[3]
+                )
 
         rank_results(results, freq_weight)
 
@@ -1129,8 +1131,10 @@ class VariantModel:
                 )
                 weights = None
             if weights is not None:
-                for result, w in zip(results, weights):
-                    result.dist_score *= float(w)
+                for i, (result, w) in enumerate(zip(results, weights)):
+                    results[i] = VariantResult(
+                        result[0], result[1] * float(w), result[2], result[3]
+                    )
                 return
         try:
             from ..utils.native import edit_scripts_batch
@@ -1147,17 +1151,23 @@ class VariantModel:
             )
             scripts = None
         if scripts is not None:
-            for result, ops in zip(results, scripts):
+            for i, (result, ops) in enumerate(zip(results, scripts)):
                 script = [Instruction(Op(op), text) for op, text in ops]
                 weight = 1.0
                 for confusable in self.confusables:
                     if confusable.found_in(script):
                         weight *= confusable.weight
-                result.dist_score *= weight
+                results[i] = VariantResult(
+                    result[0], result[1] * weight, result[2], result[3]
+                )
             return
-        for result in results:
-            result.dist_score *= self.compute_confusable_weight(
-                input_text, result.vocab_id
+        for i, result in enumerate(results):
+            results[i] = VariantResult(
+                result[0],
+                result[1]
+                * self.compute_confusable_weight(input_text, result.vocab_id),
+                result[2],
+                result[3],
             )
 
     def _native_confusables(self):

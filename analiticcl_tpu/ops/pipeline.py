@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import sys
 from functools import partial
+from itertools import repeat
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -1421,8 +1422,10 @@ class DevicePipeline:
                         pos = 0
                         for row in row_ids:
                             res = batch_res[row]
-                            for r in res:
-                                r.dist_score *= float(ws[pos])
+                            for j, r in enumerate(res):
+                                res[j] = VariantResult(
+                                    r[0], r[1] * float(ws[pos]), r[2], r[3]
+                                )
                                 pos += 1
                             rank_results(res, params.freq_weight)
                             batch_res[row] = model.cutoff_tail(res, params)
@@ -1597,26 +1600,28 @@ class DevicePipeline:
             with self.stats.stage("tail_emit"):
                 elig_row = np.zeros(B, dtype=bool)
                 elig_row[:nrows] = elig_u8.view(bool)
-                # survivors are seg-major in final rank order: bulk-convert
-                # once and slice per row; map() beats a per-survivor
-                # zip/append loop ~2x on the 40k-object batches query mode
-                # materializes (via defaults to None)
+                # survivors are seg-major in final rank order: ONE C-level
+                # bulk construction over all survivors (tuple.__new__ driven
+                # by map over zipped columns — VariantResult is a tuple
+                # subclass precisely so this path exists; ~5x cheaper than
+                # dataclass __init__ per object), then per-row list slices
                 sbounds = np.searchsorted(
                     r_seg[:n_out], np.arange(nrows + 1)
                 ).tolist()
-                vid_l = r_vid[:n_out].tolist()
-                ds_l = r_ds[:n_out].tolist()
-                fq_l = r_fq[:n_out].tolist()
-                batch_res: List[List[VariantResult]] = [
-                    list(
-                        map(
-                            VariantResult,
-                            vid_l[sbounds[g] : sbounds[g + 1]],
-                            ds_l[sbounds[g] : sbounds[g + 1]],
-                            fq_l[sbounds[g] : sbounds[g + 1]],
-                        )
+                all_objs = list(
+                    map(
+                        tuple.__new__,
+                        repeat(VariantResult),
+                        zip(
+                            r_vid[:n_out].tolist(),
+                            r_ds[:n_out].tolist(),
+                            r_fq[:n_out].tolist(),
+                            repeat(None),
+                        ),
                     )
-                    for g in range(nrows)
+                )
+                batch_res: List[List[VariantResult]] = [
+                    all_objs[sbounds[g] : sbounds[g + 1]] for g in range(nrows)
                 ]
                 self._late_conf_and_finalize(
                     results, active, inputs, params, batch_res, elig_row,

@@ -265,24 +265,57 @@ class VariantReference:
     score: float
 
 
-@dataclass(slots=True)
-class VariantResult:
+class VariantResult(tuple):
     """(vocab_id, dist_score, freq_score, via) result record.
 
-    ``score()`` and ``rank_key`` mirror reference types.rs:334-366:
-    combined score blends frequency when ``freq_weight > 0``; ranking is by
-    decreasing dist_score with freq_score tiebreak (or by blended score).
+    ``score()`` mirrors reference types.rs:334-366: combined score blends
+    frequency when ``freq_weight > 0``; ranking is by decreasing dist_score
+    with freq_score tiebreak (or by blended score).
+
+    Implemented as an immutable tuple subclass rather than a dataclass:
+    query mode materializes tens of thousands of these per device batch,
+    and C-level bulk construction (``tuple.__new__`` driven by ``map``,
+    see pipeline tail_emit) is ~5x cheaper than dataclass ``__init__``.
+    Rescoring paths replace list elements instead of mutating fields.
     """
 
-    vocab_id: VocabId
-    dist_score: float
-    freq_score: float
-    via: Optional[VocabId] = None
+    __slots__ = ()
+
+    def __new__(
+        cls,
+        vocab_id: VocabId,
+        dist_score: float,
+        freq_score: float,
+        via: Optional[VocabId] = None,
+    ):
+        return tuple.__new__(cls, (vocab_id, dist_score, freq_score, via))
+
+    @property
+    def vocab_id(self) -> VocabId:
+        return self[0]
+
+    @property
+    def dist_score(self) -> float:
+        return self[1]
+
+    @property
+    def freq_score(self) -> float:
+        return self[2]
+
+    @property
+    def via(self) -> Optional[VocabId]:
+        return self[3]
 
     def score(self, freq_weight: float = 0.0) -> float:
         if freq_weight == 0.0:
-            return self.dist_score
-        return (self.dist_score + freq_weight * self.freq_score) / (1.0 + freq_weight)
+            return self[1]
+        return (self[1] + freq_weight * self[2]) / (1.0 + freq_weight)
+
+    def __repr__(self) -> str:
+        return (
+            f"VariantResult(vocab_id={self[0]!r}, dist_score={self[1]!r}, "
+            f"freq_score={self[2]!r}, via={self[3]!r})"
+        )
 
 
 def rank_results(results: List[VariantResult], freq_weight: float) -> None:
