@@ -563,7 +563,7 @@ def _query_core(
     pvalid = pvalid_slot
     pq = jnp.where(pvalid, q_safe, B)
     pc_band = blk_band * BLK + pos
-    bt_sz = _b_tile(B)
+    bt_sz = _b_tile(B, Ni_pad)
     band_row0 = start_blk[q_safe // bt_sz] * _RB  # [P] tiny-table gather
     pc = jnp.where(
         pvalid, jnp.minimum(band_row0 + pc_band, Ni_pad - 1), 0
@@ -1321,7 +1321,7 @@ class DevicePipeline:
         """
         from .stage_a import ROW_BLOCK, _b_tile
 
-        bt = _b_tile(B)
+        bt = _b_tile(B, self.Ni_pad)
         nqt = B // bt
         cc_t = q_cc.reshape(nqt, bt)
         k_t = k_ana.reshape(nqt, bt)

@@ -52,7 +52,21 @@ def _row_block(B: int) -> int:
     return ROW_BLOCK
 
 
-def _b_tile(B: int) -> int:
+# Above this many lexicon rows, shrink the query tile: a tile's band must
+# cover the JOINT charcount range of its queries (+-k), and rows-per-charcount
+# grows linearly with Ni — at ~1M rows a 1024-query tile's band approaches the
+# whole lexicon, erasing the banding win. A 256-query tile quarters the
+# per-tile cc spread (queries arrive cc-sorted) for ~3-4x less stage-A work;
+# the extra grid steps are cheap because each step still processes a full
+# [ROW_BLOCK, bt] block. Threshold keeps eng.aspell-scale (~120k rows)
+# lexicons on the tuned 1024-query tile.
+BIG_NI_ROWS = 262_144
+BIG_NI_B_TILE = 256
+
+
+def _b_tile(B: int, Ni: int = 0) -> int:
+    if Ni >= BIG_NI_ROWS:
+        return min(B, BIG_NI_B_TILE)
     return min(B, B_TILE)
 
 
@@ -123,7 +137,7 @@ def stage_a_masks_pallas(
     Ni, AT = bins.shape
     B = qbin.shape[0]
     rb = _row_block(B)
-    bt = _b_tile(B)
+    bt = _b_tile(B, Ni)
     assert Ni % rb == 0 and B % bt == 0
     assert nb_band * rb <= Ni
     nqt = B // bt
@@ -177,7 +191,7 @@ def stage_a_masks_xla(
     Ni, AT = bins.shape
     B = qbin.shape[0]
     rb = _row_block(B)
-    bt = _b_tile(B)
+    bt = _b_tile(B, Ni)
     nqt = B // bt
     Nb = nb_band * rb
 

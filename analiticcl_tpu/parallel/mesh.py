@@ -309,10 +309,12 @@ class ShardedPipeline(DevicePipeline):
         globally-sorted row, so shard-local bands are ~1/n_lex of the global
         band. Returns (start_blk int32 [n_dp, n_lex, nqt_local], nb_band).
         """
-        from ..ops.stage_a import B_TILE, ROW_BLOCK
+        from ..ops.stage_a import ROW_BLOCK, _b_tile
 
         B_local = B // self.n_dp
-        bt = min(B_local, B_TILE)
+        # tile size keys off the SHARD-local row count (each lex shard scans
+        # only its own rows, so that is what sets the band economics)
+        bt = _b_tile(B_local, self.M_shard * ROW_BLOCK)
         nqt = B_local // bt
         cc_t = q_cc.reshape(self.n_dp, nqt, bt)
         k_t = k_ana.reshape(self.n_dp, nqt, bt)

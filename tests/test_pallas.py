@@ -203,3 +203,63 @@ def test_stage_a_pallas_matches_xla_bit_for_bit(seed, B):
     np.testing.assert_array_equal(
         np.asarray(xb[3]), mask[1024:2048].sum(axis=0)
     )
+
+
+def test_stage_a_multi_tile_matches_single_tile(monkeypatch):
+    """nqt > 1 (the large-lexicon small-tile path, stage_a._b_tile): per-tile
+    band starts select DIFFERENT block windows per query tile, and both
+    backends must agree bit-for-bit with a numpy oracle restricted to each
+    tile's band. Forces bt=16 via the BIG_NI threshold so B=64 -> 4 tiles."""
+    from analiticcl_tpu.ops import stage_a
+
+    monkeypatch.setattr(stage_a, "BIG_NI_ROWS", 1024)
+    monkeypatch.setattr(stage_a, "BIG_NI_B_TILE", 16)
+    rng = np.random.default_rng(7)
+    Ni, B, A, T = 4096, 64, 6, 3
+    AT = A * T
+    counts = rng.integers(0, T + 1, size=(Ni, A)).astype(np.int32)
+    # charcount-sorted device layout, as DevicePipeline builds it
+    counts = counts[np.argsort(counts.sum(axis=1), kind="stable")]
+    t_levels = np.arange(T, dtype=np.int32)[None, None, :]
+    bins = (counts[:, :, None] > t_levels).reshape(Ni, AT).astype(np.int8)
+    cc = counts.sum(axis=1).astype(np.int32)
+    validrows = np.ones(Ni, dtype=bool)
+
+    qc = rng.integers(0, T + 1, size=(B, A)).astype(np.int32)
+    qc = qc[np.argsort(qc.sum(axis=1), kind="stable")]  # cc-sorted queries
+    qbin = (qc[:, :, None] > t_levels).reshape(B, AT).astype(np.int8)
+    q_cc = qc.sum(axis=1).astype(np.int32)
+    k_ana = rng.integers(0, 4, size=B).astype(np.int32)
+
+    # exact per-tile band plan (mirrors DevicePipeline._band_plan)
+    bt = stage_a._b_tile(B, Ni)
+    assert bt == 16 and B // bt == 4
+    nqt = B // bt
+    lo = (q_cc.reshape(nqt, bt) - k_ana.reshape(nqt, bt)).min(axis=1)
+    hi = (q_cc.reshape(nqt, bt) + k_ana.reshape(nqt, bt)).max(axis=1)
+    lo_row = np.searchsorted(cc, lo, side="left")
+    hi_row = np.searchsorted(cc, hi, side="right")
+    start = (lo_row // 1024).astype(np.int32)
+    nb_band = int(np.maximum(-(-hi_row // 1024) - start, 1).max())
+    start = np.minimum(start, Ni // 1024 - nb_band)
+
+    args = (jnp.asarray(qbin), jnp.asarray(q_cc), jnp.asarray(k_ana))
+    pb = stage_a.stage_a_masks_pallas(
+        jnp.asarray(bins), jnp.asarray(cc), *args, jnp.asarray(start),
+        nb_band, interpret=True,
+    )
+    xb = stage_a.stage_a_masks_xla(
+        jnp.asarray(bins), jnp.asarray(cc), jnp.asarray(validrows), *args,
+        jnp.asarray(start), nb_band,
+    )
+    for p_arr, x_arr in zip(pb, xb):
+        np.testing.assert_array_equal(np.asarray(p_arr), np.asarray(x_arr))
+
+    # numpy oracle: totals over each query's OWN tile band
+    l1 = np.abs(counts[:, None, :] - qc[None, :, :]).sum(axis=2)  # [Ni, B]
+    mask = l1 <= k_ana[None, :]
+    expect = np.zeros(B, dtype=np.int64)
+    for q in range(B):
+        r0 = start[q // bt] * 1024
+        expect[q] = mask[r0 : r0 + nb_band * 1024, q].sum()
+    np.testing.assert_array_equal(np.asarray(xb[3]), expect)
