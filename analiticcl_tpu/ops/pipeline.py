@@ -1601,28 +1601,46 @@ class DevicePipeline:
                 elig_row = np.zeros(B, dtype=bool)
                 elig_row[:nrows] = elig_u8.view(bool)
                 # survivors are seg-major in final rank order: ONE C-level
-                # bulk construction over all survivors (tuple.__new__ driven
-                # by map over zipped columns — VariantResult is a tuple
-                # subclass precisely so this path exists; ~5x cheaper than
-                # dataclass __init__ per object), then per-row list slices
-                sbounds = np.searchsorted(
+                # bulk construction over all survivors. Preferred: the
+                # fastemit CPython extension (native/fastemit.c) builds the
+                # per-row lists of VariantResult tuples in a single C pass;
+                # fallback: tuple.__new__ driven by map over zipped columns
+                # (VariantResult is a tuple subclass precisely so these
+                # paths exist; ~5x cheaper than dataclass __init__), then
+                # per-row list slices.
+                sbounds_arr = np.searchsorted(
                     r_seg[:n_out], np.arange(nrows + 1)
-                ).tolist()
-                all_objs = list(
-                    map(
-                        tuple.__new__,
-                        repeat(VariantResult),
-                        zip(
-                            r_vid[:n_out].tolist(),
-                            r_ds[:n_out].tolist(),
-                            r_fq[:n_out].tolist(),
-                            repeat(None),
-                        ),
+                ).astype(np.int64)
+                from ..utils.native import fastemit_build_result_lists
+
+                femit = fastemit_build_result_lists()
+                if femit is not None:
+                    batch_res: List[List[VariantResult]] = femit(
+                        VariantResult,
+                        np.ascontiguousarray(r_vid[:n_out], dtype=np.int64),
+                        np.ascontiguousarray(r_ds[:n_out], dtype=np.float64),
+                        np.ascontiguousarray(r_fq[:n_out], dtype=np.float64),
+                        sbounds_arr,
+                        nrows,
                     )
-                )
-                batch_res: List[List[VariantResult]] = [
-                    all_objs[sbounds[g] : sbounds[g + 1]] for g in range(nrows)
-                ]
+                else:
+                    sbounds = sbounds_arr.tolist()
+                    all_objs = list(
+                        map(
+                            tuple.__new__,
+                            repeat(VariantResult),
+                            zip(
+                                r_vid[:n_out].tolist(),
+                                r_ds[:n_out].tolist(),
+                                r_fq[:n_out].tolist(),
+                                repeat(None),
+                            ),
+                        )
+                    )
+                    batch_res = [
+                        all_objs[sbounds[g] : sbounds[g + 1]]
+                        for g in range(nrows)
+                    ]
                 self._late_conf_and_finalize(
                     results, active, inputs, params, batch_res, elig_row,
                     late_conf, nrows,

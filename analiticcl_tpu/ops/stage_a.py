@@ -37,6 +37,8 @@ per tile inside a lax.map and produces identical outputs.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -60,8 +62,8 @@ def _row_block(B: int) -> int:
 # the extra grid steps are cheap because each step still processes a full
 # [ROW_BLOCK, bt] block. Threshold keeps eng.aspell-scale (~120k rows)
 # lexicons on the tuned 1024-query tile.
-BIG_NI_ROWS = 262_144
-BIG_NI_B_TILE = 256
+BIG_NI_ROWS = int(os.environ.get("ANALITICCL_BT_ROWS", 262_144))
+BIG_NI_B_TILE = int(os.environ.get("ANALITICCL_BT", 256))
 
 
 def _b_tile(B: int, Ni: int = 0) -> int:

@@ -24,6 +24,53 @@ _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
+_FASTEMIT_SO = os.path.join(_NATIVE_DIR, "_fastemit.so")
+_fastemit = None
+_fastemit_tried = False
+
+
+def fastemit_build_result_lists():
+    """The CPython bulk result-list constructor (native/fastemit.c), or
+    None when unavailable. Built lazily alongside libananorm (same make);
+    loaded by filename via ExtensionFileLoader, so the .so needs no
+    ABI-tagged name. The Python tail_emit path is the fallback/oracle."""
+    global _fastemit, _fastemit_tried
+    with _lock:
+        if _fastemit_tried:
+            return _fastemit
+        _fastemit_tried = True
+    src = os.path.join(_NATIVE_DIR, "fastemit.c")
+    stale = os.path.exists(_FASTEMIT_SO) and (
+        os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(_FASTEMIT_SO)
+    )
+    if not os.path.exists(_FASTEMIT_SO) or stale:
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR, "_fastemit.so"],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception as e:
+            warn_once("fastemit", f"fastemit build unavailable ({e})")
+            return None
+    if not os.path.exists(_FASTEMIT_SO):
+        return None
+    try:
+        import importlib.util
+        from importlib.machinery import ExtensionFileLoader
+
+        loader = ExtensionFileLoader("_fastemit", _FASTEMIT_SO)
+        spec = importlib.util.spec_from_file_location(
+            "_fastemit", _FASTEMIT_SO, loader=loader
+        )
+        mod = importlib.util.module_from_spec(spec)
+        loader.exec_module(mod)
+    except Exception as e:
+        warn_once("fastemit", f"fastemit extension failed to load ({e})")
+        return None
+    _fastemit = mod.build_result_lists
+    return _fastemit
+
 _warned: set = set()
 
 

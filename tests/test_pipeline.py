@@ -455,3 +455,39 @@ def test_budget_deescalation(eng_model, monkeypatch):
     # and the shrunken program still returns exact results
     got = pipe.find_variants_batch(QUERIES, params)
     assert [_result_tuples(eng_model, g) for g in got] == want
+
+
+def test_fastemit_matches_python_bulk_construction():
+    """native/fastemit.c vs the Python tuple.__new__ bulk path: identical
+    lists of VariantResult (type, values, via=None) over random columns,
+    including empty segments and a zero-survivor batch."""
+    import numpy as np
+
+    from analiticcl_tpu.types import VariantResult
+    from analiticcl_tpu.utils.native import fastemit_build_result_lists
+
+    femit = fastemit_build_result_lists()
+    if femit is None:
+        import pytest
+
+        pytest.skip("fastemit extension unavailable")
+    rng = np.random.default_rng(11)
+    for nrows, n in [(7, 23), (1, 0), (5, 5), (64, 300)]:
+        vid = rng.integers(0, 1 << 40, size=n).astype(np.int64)
+        ds = rng.random(n)
+        fq = rng.random(n)
+        cuts = np.sort(rng.integers(0, n + 1, size=nrows - 1))
+        bounds = np.concatenate([[0], cuts, [n]]).astype(np.int64)
+        out = femit(VariantResult, vid, ds, fq, bounds, nrows)
+        assert len(out) == nrows
+        expect = [
+            [
+                VariantResult(int(vid[i]), float(ds[i]), float(fq[i]))
+                for i in range(bounds[g], bounds[g + 1])
+            ]
+            for g in range(nrows)
+        ]
+        assert out == expect
+        for row in out:
+            for r in row:
+                assert type(r) is VariantResult and r.via is None
