@@ -909,6 +909,7 @@ class DevicePipeline:
         self.nb_buckets = tuple(
             [c for c in cand if c < self.M_total] + [self.M_total]
         )
+        self._nb_seen: dict = {}  # B -> band widths already compiled
         pad = Ni_pad - self.Ni
 
         # DEVICE LAYOUT: rows sorted by charcount (stable, so canonical order
@@ -1333,6 +1334,19 @@ class DevicePipeline:
         start = (lo_row // ROW_BLOCK).astype(np.int32)
         need = np.maximum(-(-hi_row // ROW_BLOCK) - start, 1).astype(np.int32)
         nb_band = _bucket(int(need.max(initial=1)), self.nb_buckets)
+        # sticky widths: each distinct nb_band compiles its own fused
+        # variant, and successive batches of a stream can need different
+        # buckets (small-tile plans especially). A WIDER band is always
+        # correct — extra rows simply fail the L1 test — so reuse the
+        # smallest already-compiled width >= need instead of compiling a
+        # new variant mid-stream (recompiles cost seconds on the remote
+        # helper and ate ~25% of the 1M-lexicon measurement window).
+        seen = self._nb_seen.setdefault(B, set())
+        wider = [w for w in seen if w >= nb_band]
+        if wider:
+            nb_band = min(wider)
+        else:
+            seen.add(nb_band)
         # clamp so every band window stays inside the padded row range;
         # shifting a start down only widens coverage below
         start = np.minimum(start, self.M_total - nb_band).astype(np.int32)

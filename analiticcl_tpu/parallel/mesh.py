@@ -99,6 +99,7 @@ class ShardedPipeline(DevicePipeline):
         self.nb_buckets = tuple(
             [c for c in cand if c < self.M_shard] + [self.M_shard]
         )
+        self._nb_seen: dict = {}  # B -> band widths already compiled
         pad = Ni_pad - self.Ni
 
         # DEVICE LAYOUT: global charcount sort, then ROUND-ROBIN interleave
@@ -332,6 +333,14 @@ class ShardedPipeline(DevicePipeline):
             need_max = max(need_max, int(need.max(initial=1)))
             starts[:, s, :] = st
         nb_band = pl._bucket(need_max, self.nb_buckets)
+        # sticky widths (see DevicePipeline._band_plan): reuse the smallest
+        # already-compiled band >= need rather than compiling a new variant
+        seen = self._nb_seen.setdefault(B, set())
+        wider = [w for w in seen if w >= nb_band]
+        if wider:
+            nb_band = min(wider)
+        else:
+            seen.add(nb_band)
         np.minimum(starts, self.M_shard - nb_band, out=starts)
         np.maximum(starts, 0, out=starts)
         return starts, nb_band
