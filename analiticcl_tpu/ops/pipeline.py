@@ -1341,12 +1341,17 @@ class DevicePipeline:
         # smallest already-compiled width >= need instead of compiling a
         # new variant mid-stream (recompiles cost seconds on the remote
         # helper and ate ~25% of the 1M-lexicon measurement window).
-        seen = self._nb_seen.setdefault(B, set())
-        wider = [w for w in seen if w >= nb_band]
-        if wider:
-            nb_band = min(wider)
-        else:
-            seen.add(nb_band)
+        # Widths are recorded only if they clear the compile ceiling: an
+        # over-ceiling need must NOT enter the seen-set, or every later batch
+        # at this B would sticky-widen to it, trip the ceiling check in
+        # submit(), and take the recursive split path forever.
+        if not self._band_over_ceiling(B, nb_band):
+            seen = self._nb_seen.setdefault(B, set())
+            wider = [w for w in seen if w >= nb_band]
+            if wider:
+                nb_band = min(wider)
+            else:
+                seen.add(nb_band)
         # clamp so every band window stays inside the padded row range;
         # shifting a start down only widens coverage below
         start = np.minimum(start, self.M_total - nb_band).astype(np.int32)

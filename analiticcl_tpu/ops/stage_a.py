@@ -67,9 +67,14 @@ BIG_NI_B_TILE = int(os.environ.get("ANALITICCL_BT", 256))
 
 
 def _b_tile(B: int, Ni: int = 0) -> int:
-    if Ni >= BIG_NI_ROWS:
-        return min(B, BIG_NI_B_TILE)
-    return min(B, B_TILE)
+    bt = min(B, BIG_NI_B_TILE if Ni >= BIG_NI_ROWS else B_TILE)
+    # the kernels require B % bt == 0; env-supplied tiles (ANALITICCL_BT)
+    # that don't divide the batch bucket are rounded down to the largest
+    # power of two that does (B buckets are powers of two, so any pow2 <= B
+    # divides it)
+    while bt > 1 and B % bt != 0:
+        bt = 1 << ((bt - 1).bit_length() - 1)
+    return max(bt, 1)
 
 
 def _pack_bits_rows_i32(mask_t: jnp.ndarray) -> jnp.ndarray:

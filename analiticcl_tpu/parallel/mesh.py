@@ -335,12 +335,16 @@ class ShardedPipeline(DevicePipeline):
         nb_band = pl._bucket(need_max, self.nb_buckets)
         # sticky widths (see DevicePipeline._band_plan): reuse the smallest
         # already-compiled band >= need rather than compiling a new variant
-        seen = self._nb_seen.setdefault(B, set())
-        wider = [w for w in seen if w >= nb_band]
-        if wider:
-            nb_band = min(wider)
-        else:
-            seen.add(nb_band)
+        # only record widths that clear the compile ceiling (see
+        # DevicePipeline._band_plan: an over-ceiling width in the seen-set
+        # would force every later batch onto the split path)
+        if not self._band_over_ceiling(B, nb_band):
+            seen = self._nb_seen.setdefault(B, set())
+            wider = [w for w in seen if w >= nb_band]
+            if wider:
+                nb_band = min(wider)
+            else:
+                seen.add(nb_band)
         np.minimum(starts, self.M_shard - nb_band, out=starts)
         np.maximum(starts, 0, out=starts)
         return starts, nb_band

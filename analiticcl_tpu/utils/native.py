@@ -29,6 +29,41 @@ _fastemit = None
 _fastemit_tried = False
 
 
+def _python_build_tag() -> str:
+    """Identity of the interpreter a CPython extension must match."""
+    import sysconfig
+
+    return f"{sys.implementation.name}-{sys.version_info.major}.{sys.version_info.minor}-{sysconfig.get_platform()}"
+
+
+def _pyinc() -> str:
+    """Include dir of the RUNNING interpreter (not whichever python3 is on
+    PATH) — passed explicitly to make so venv/multi-python hosts compile
+    the extension against the headers that match the loading process."""
+    import sysconfig
+
+    return sysconfig.get_paths()["include"]
+
+
+def _fastemit_stale(src: str) -> bool:
+    """Rebuild when the source is newer OR the recorded interpreter tag
+    mismatches. The tag file (written after each successful build) guards
+    against dlopen'ing an ABI-incompatible .so from another machine or
+    Python minor version — mtimes alone can tie after a fresh checkout."""
+    if not os.path.exists(_FASTEMIT_SO):
+        return True
+    if os.path.exists(src) and (
+        os.path.getmtime(src) > os.path.getmtime(_FASTEMIT_SO)
+    ):
+        return True
+    tag_path = _FASTEMIT_SO + ".build"
+    try:
+        with open(tag_path) as f:
+            return f.read().strip() != _python_build_tag()
+    except OSError:
+        return True
+
+
 def fastemit_build_result_lists():
     """The CPython bulk result-list constructor (native/fastemit.c), or
     None when unavailable. Built lazily alongside libananorm (same make);
@@ -40,16 +75,17 @@ def fastemit_build_result_lists():
             return _fastemit
         _fastemit_tried = True
     src = os.path.join(_NATIVE_DIR, "fastemit.c")
-    stale = os.path.exists(_FASTEMIT_SO) and (
-        os.path.exists(src)
-        and os.path.getmtime(src) > os.path.getmtime(_FASTEMIT_SO)
-    )
-    if not os.path.exists(_FASTEMIT_SO) or stale:
+    if _fastemit_stale(src):
         try:
             subprocess.run(
-                ["make", "-C", _NATIVE_DIR, "_fastemit.so"],
+                [
+                    "make", "-C", _NATIVE_DIR, "-B", "_fastemit.so",
+                    f"PYINC={_pyinc()}",
+                ],
                 check=True, capture_output=True, timeout=120,
             )
+            with open(_FASTEMIT_SO + ".build", "w") as f:
+                f.write(_python_build_tag() + "\n")
         except Exception as e:
             warn_once("fastemit", f"fastemit build unavailable ({e})")
             return None
@@ -100,7 +136,7 @@ def _load() -> Optional[ctypes.CDLL]:
             if os.path.exists(src):
                 try:
                     subprocess.run(
-                        ["make", "-C", _NATIVE_DIR],
+                        ["make", "-C", _NATIVE_DIR, f"PYINC={_pyinc()}"],
                         check=True,
                         capture_output=True,
                         timeout=120,

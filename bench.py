@@ -43,18 +43,32 @@ def _git_head() -> str:
         return "unknown"
 
 
-def emit(qps: float, passes: list[float], final: bool, **extra) -> None:
+def emit(
+    qps: float,
+    passes: list[float],
+    final: bool,
+    pass_details: list[dict] | None = None,
+    **extra,
+) -> None:
     """Print the result JSON line AND checkpoint it to disk. Called after
     every measurement pass, not just at the end, so a mid-run kill (driver
     timeout, tunnel death) still leaves a parsed result on stdout and a
-    same-commit checkpoint on disk (round-3 lesson: rc=124 left nothing)."""
+    same-commit checkpoint on disk (round-3 lesson: rc=124 left nothing).
+
+    ``pass_details`` (one dict per window: GC deltas, host CPU seconds,
+    tunnel RTT probe) is recorded in the checkpoint so pass-to-pass spread
+    can be attributed to engine variance vs tunnel variance from the
+    artifact alone."""
     rec = {
         "metric": METRIC,
         "value": round(qps, 1),
         "unit": "queries/sec",
         "vs_baseline": round(qps / REFERENCE_BASELINE_QPS, 3),
+        "commit": _git_head(),
         **extra,
     }
+    if len(passes) >= 2:
+        rec["spread"] = round(max(passes) / min(passes), 3)
     if not final:
         rec["partial"] = f"{len(passes)} passes"
     print(json.dumps(rec), flush=True)
@@ -65,7 +79,7 @@ def emit(qps: float, passes: list[float], final: bool, **extra) -> None:
                 {
                     **rec,
                     "passes": [round(p, 1) for p in passes],
-                    "commit": _git_head(),
+                    "pass_details": pass_details or [],
                     "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                     "final": final,
                 },
@@ -75,6 +89,60 @@ def emit(qps: float, passes: list[float], final: bool, **extra) -> None:
             f.write("\n")
     except OSError as e:
         log(f"checkpoint write failed: {e}")
+
+
+def probe_rtt_ms(n: int = 3) -> float:
+    """Tunnel round-trip probe: the min wall time of ``n`` tiny device adds,
+    each fully synchronized. On a locally-attached chip this is ~0.1-0.5 ms;
+    on the remote tunnel it directly measures the per-dispatch latency that
+    every batch in a measurement window pays. Recorded per window so spread
+    in q/s can be correlated with spread in RTT (engine vs tunnel)."""
+    import jax
+    import jax.numpy as jnp
+
+    best = float("inf")
+    x = jnp.ones((8,), jnp.float32)
+    for _ in range(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(x + 1.0)
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
+
+
+class WindowMeter:
+    """Per-window host-side counters: GC collections/collected, host CPU
+    seconds, RSS delta, and the tunnel RTT probe. All cheap (one gc.get_stats
+    + getrusage per window; the RTT probe is 3 tiny device ops between
+    windows, outside the timed region)."""
+
+    def __init__(self):
+        self._last = self._snap()
+
+    @staticmethod
+    def _snap() -> dict:
+        import gc
+        import resource
+
+        stats = gc.get_stats()
+        ru = resource.getrusage(resource.RUSAGE_SELF)
+        return {
+            "gc_collections": sum(s["collections"] for s in stats),
+            "gc_collected": sum(s["collected"] for s in stats),
+            "cpu_s": time.process_time(),
+            "rss_kb": ru.ru_maxrss,
+        }
+
+    def window(self, wall_s: float) -> dict:
+        cur = self._snap()
+        last, self._last = self._last, cur
+        return {
+            "wall_s": round(wall_s, 3),
+            "host_cpu_s": round(cur["cpu_s"] - last["cpu_s"], 3),
+            "gc_collections": cur["gc_collections"] - last["gc_collections"],
+            "gc_collected": cur["gc_collected"] - last["gc_collected"],
+            "rss_delta_kb": cur["rss_kb"] - last["rss_kb"],
+            "rtt_ms": round(probe_rtt_ms(), 3),
+        }
 
 
 def emit_outage_fallback(reason: str) -> None:
@@ -390,6 +458,8 @@ def main():
     N_PASSES = 5
     all_queries = queries * N_PASSES
     passes = []
+    details: list[dict] = []
+    meter = WindowMeter()
     t0 = time.time()
     last = t0
     done = 0
@@ -403,33 +473,53 @@ def main():
                     now = time.time()
                     elapsed = now - last
                     run_qps = len(queries) / elapsed
+                    d = meter.window(elapsed)
                     log(
                         f"window {done // len(queries)}: {len(queries)} queries in "
-                        f"{elapsed:.2f}s = {run_qps:.0f} q/s"
+                        f"{elapsed:.2f}s = {run_qps:.0f} q/s "
+                        f"(host_cpu {d['host_cpu_s']:.2f}s, "
+                        f"gc {d['gc_collections']}, rtt {d['rtt_ms']:.1f}ms)"
                     )
                     passes.append(run_qps)
-                    last = now
+                    details.append(d)
+                    last = time.time()  # RTT probe time stays unmeasured
                     ordered = sorted(passes)
                     emit(
                         ordered[len(ordered) // 2],
                         passes,
                         final=len(passes) >= N_PASSES,
+                        pass_details=details,
                     )
     except TimeoutError as e:
         log(str(e))
         if passes:
             ordered = sorted(passes)
             emit(ordered[len(ordered) // 2], passes, final=False,
-                 outage="tunnel died mid-measurement")
+                 pass_details=details, outage="tunnel died mid-measurement")
             raise SystemExit(0)
         emit_outage_fallback("tunnel died before any measurement window")
     ordered = sorted(passes)
     qps = ordered[len(ordered) // 2]
+    spread = ordered[-1] / ordered[0]
     log(
         f"median of {len(passes)}: {qps:.0f} q/s "
         f"(min {ordered[0]:.0f}, max {ordered[-1]:.0f}, "
-        f"spread {ordered[-1] / ordered[0]:.2f}x)"
+        f"spread {spread:.2f}x)"
     )
+    if spread > 1.3:
+        # attribute: engine-side signals are host CPU and GC; tunnel-side is
+        # RTT. Report which axis co-varies with the slow windows.
+        slow = min(range(len(passes)), key=lambda i: passes[i])
+        fast = max(range(len(passes)), key=lambda i: passes[i])
+        log(
+            f"spread>1.3x attribution: slow window {slow + 1} "
+            f"(host_cpu {details[slow]['host_cpu_s']:.2f}s, "
+            f"gc {details[slow]['gc_collections']}, "
+            f"rtt {details[slow]['rtt_ms']:.1f}ms) vs fast window {fast + 1} "
+            f"(host_cpu {details[fast]['host_cpu_s']:.2f}s, "
+            f"gc {details[fast]['gc_collections']}, "
+            f"rtt {details[fast]['rtt_ms']:.1f}ms)"
+        )
 
 
 if __name__ == "__main__":

@@ -664,7 +664,9 @@ def main():
         t0 = time.time()
         result = SCENARIOS[name]()
         log(f"({name} took {time.time() - t0:.1f}s total)")
-        print(json.dumps(result), flush=True)
+        from analiticcl_tpu.utils.provenance import stamp
+
+        print(json.dumps(stamp(result)), flush=True)
 
 
 if __name__ == "__main__":

@@ -8,7 +8,12 @@ in the same log win).
 """
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from analiticcl_tpu.utils.provenance import stamp  # noqa: E402
 
 
 def main() -> int:
@@ -31,11 +36,20 @@ def main() -> int:
                 continue
             if isinstance(obj, dict) and "scenario" in obj:
                 scenarios[obj["scenario"]] = obj
-    out = {
+    out = stamp({
         "round": rnd,
         "device": "1x TPU v5e (remote-attached, axon)",
         "scenarios": list(scenarios.values()),
-    }
+    })
+    # per-scenario commit hashes live in the scenario lines themselves (the
+    # suite stamps each line at emission); the top-level stamp records when
+    # and at what HEAD this file was assembled
+    stale = sorted(
+        {s["scenario"] for s in scenarios.values()
+         if s.get("commit") not in (None, out["commit"])}
+    )
+    if stale:
+        out["scenarios_not_at_head"] = stale
     path = f"benchmarks/RESULTS_r{rnd:02d}.json"
     with open(path, "w", encoding="utf-8") as f:
         json.dump(out, f, indent=1)
