@@ -2698,7 +2698,29 @@ class VariantModel:
         var_of: Dict[int, set] = {}  # variant id -> {vocab ids in VARIANT_OF checks}
         REF_FOR = VariantReferenceKind.REFERENCE_FOR
         VAR_OF = VariantReferenceKind.VARIANT_OF
-        for inputstr, ref_id, dist_score in triples():
+        # phase attribution: generator-internal time (batched lookups, device
+        # waits) vs merge-loop time vs the auto_build rebuild, recorded in
+        # ``self.learn_profile`` so learn-rate regressions are diagnosable
+        # from the artifact (see benchmarks/suite.py learn_1m)
+        import time as _time
+
+        _t_lookup = 0.0
+        _t_merge_start = _time.perf_counter()
+
+        def _timed_triples():
+            nonlocal _t_lookup
+            gen = triples()
+            while True:
+                t0 = _time.perf_counter()
+                try:
+                    item = next(gen)
+                except StopIteration:
+                    _t_lookup += _time.perf_counter() - t0
+                    return
+                _t_lookup += _time.perf_counter() - t0
+                yield item
+
+        for inputstr, ref_id, dist_score in _timed_triples():
             vocab_id = encoder_get(inputstr)
             if vocab_id is not None:
                 if prev != inputstr:
@@ -2747,8 +2769,17 @@ class VariantModel:
                         seen.add(ref_id)
                 count += 1
             prev = inputstr
+        _t_merge = _time.perf_counter() - _t_merge_start - _t_lookup
+        _t_build = 0.0
         if auto_build:
+            t0 = _time.perf_counter()
             self.build()
+            _t_build = _time.perf_counter() - t0
+        self.learn_profile = {
+            "lookup_s": round(_t_lookup, 3),
+            "merge_s": round(_t_merge, 3),
+            "build_s": round(_t_build, 3),
+        }
         return count
 
     # ------------------------------------------------------------------

@@ -324,6 +324,7 @@ def learn():
         "inputs_per_s": round(len(corpus) / dt, 1),
         "learned": count,
         "iteration_s": round(dt, 2),
+        "phases": getattr(model, "learn_profile", None),
     }
 
 
@@ -638,6 +639,7 @@ def learn_1m():
         "learned": count,
         "iteration_s": round(dt, 2),
         "build_s": round(build_s, 2),
+        "phases": getattr(model, "learn_profile", None),
     }
 
 

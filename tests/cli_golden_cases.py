@@ -197,7 +197,26 @@ def cases(lexicon_path: str):
         ),
         # interactive mode (-x): per-line unbatched framing, same emitters
         ("query_interactive.tsv", ["query", *common, "-n", "5", "-x"], q, []),
+        # anagram-index dump: one line per anagram value, value then member
+        # words tab-joined (bin:1190-1204; our canonical (anavalue, vid)
+        # order is deterministic where the reference's HashMap iter is not —
+        # divergence documented in PARITY.md)
+        ("index.tsv", ["index", *common], [], []),
+        # alphabet encodability check (bin:1007-1023): OK rows carry
+        # input \t anagram value \t Rust-Debug-style norm vector
+        ("testinput.tsv", ["testinput", "-a", REF_ALPHA], testinput_inputs(), []),
     ]
+
+
+def testinput_inputs():
+    """Mixed encodable / unencodable lines: OK rows print to stdout (pinned
+    here), UNKNOWN rows go to stderr like the reference's eprintln
+    (bin:1007-1023) so they pin as ABSENCE from the fixture."""
+    with open(REF_LEX, encoding="utf-8") as f:
+        words = [l.split("\t")[0] for l in f.read().splitlines() if l]
+    out = words[2000:10000:40][:180]
+    out += ["Hello World", "num8er", "semi;colon", "dash-ed", "ünïcode"]
+    return out
 
 
 def learn_multi_inputs():
