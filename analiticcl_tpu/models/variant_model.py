@@ -1571,7 +1571,10 @@ class VariantModel:
             if fast_applicable:
                 from . import search_fast
 
-                unit = search_fast.prepare_unit(unit_texts, params.max_ngram)
+                with pipe.stats.stage("search_prepare"):
+                    unit = search_fast.prepare_unit(
+                        unit_texts, params.max_ngram
+                    )
                 if unit is not None:
                     all_texts = unit.all_texts
                     if unit_tokens:
@@ -1610,10 +1613,12 @@ class VariantModel:
             if kind == "arr":
                 from . import search_fast
 
-                return search_fast.consolidate_unit(
-                    preps, found, params, consolidate, self
-                )
-            return self._fam_consolidate(preps, uniq, found, params)
+                with pipe.stats.stage("search_consolidate"):
+                    return search_fast.consolidate_unit(
+                        preps, found, params, consolidate, self
+                    )
+            with pipe.stats.stage("search_consolidate_obj"):
+                return self._fam_consolidate(preps, uniq, found, params)
 
         for text in texts:
             ntok = len(text.split())

@@ -119,7 +119,10 @@ P_BUCKETS = (
     1572864,
 )
 P2_BUCKETS = (2048, 16384, 32768, 49152, 65536, 98304, 131072, 262144)  # surviving-pair budget
-WINDOW_BUCKETS = (3, 12)  # DL exactness windows (12 = reference MAX_EDIT_DISTANCE)
+# DL exactness windows (12 = reference MAX_EDIT_DISTANCE). The W6 mid-tier
+# exists for ratio thresholds: len*0.3 puts most natural-language queries at
+# k_ed 4-6, and W6 costs ~a third of the W12 DP program.
+WINDOW_BUCKETS = (3, 6, 12)
 DL_CHUNK = 16384
 
 
@@ -354,6 +357,7 @@ def _query_core(
     q_first_lower,  # bool [B]
     k_ana,  # int32 [B]
     k_ed,  # int32 [B]
+    k_len,  # int32 [B]: min(k_ana, k_ed) — stage-A length-difference cap
     stop_exact,  # bool [B]
     start_blk,  # int32 [B // B_TILE]: per-tile band start block (host-exact)
     weights,  # f32 [6]
@@ -412,11 +416,11 @@ def _query_core(
 
     if _use_pallas() and Ni_pad % _row_block(B) == 0:
         packed_q8, exact_q8, counts_t, nmatch, nexact = stage_a_masks_pallas(
-            bins, cc, qbin, q_cc, k_ana, start_blk, nb_band
+            bins, cc, qbin, q_cc, k_ana, k_len, start_blk, nb_band
         )
     else:
         packed_q8, exact_q8, counts_t, nmatch, nexact = stage_a_masks_xla(
-            bins, cc, validrows, qbin, q_cc, k_ana, start_blk, nb_band
+            bins, cc, validrows, qbin, q_cc, k_ana, k_len, start_blk, nb_band
         )
     Ni_band = nb_band * _RB  # band rows per query tile (banded coord range)
     # StopAtExactMatch (lib.rs:1158-1174): when a query has an exact anagram,
@@ -1203,7 +1207,10 @@ class DevicePipeline:
                 if ln - max_cand_len > k_ed_i:
                     results[i] = []
                 else:
-                    results[i] = model._find_variants_oracle(text, params)
+                    # host BFS per query — seconds each on big lexicons, so
+                    # it gets its own stage for attribution (learn_1m r4)
+                    with self.stats.stage("host_oracle_fallback"):
+                        results[i] = model._find_variants_oracle(text, params)
             else:
                 active.append(i)
         if not active:
@@ -1241,8 +1248,45 @@ class DevicePipeline:
             params.max_edit_distance, q_lens[: len(active)], _MAX_EDIT_DISTANCE
         )
 
+        # Per-query DL windows: a batch mixing window buckets would compile
+        # and pay the LARGEST window for every pair — with ratio thresholds
+        # one len>=14 query used to push a whole 4096-batch onto the W12
+        # program AND its k_ana onto every tile's band plan (the round-4
+        # query_ratio cliff: 137 q/s). Split window-mixed batches into
+        # per-window sub-submissions; every group dispatches asynchronously
+        # here, so the device still sees back-to-back work, and each group
+        # pays only its own window and its own (narrower) stage-A band.
+        if len(active) > 1:
+            ke = k_ed[: len(active)]
+            if _bucket(int(ke.max()), WINDOW_BUCKETS) != _bucket(
+                int(ke.min()), WINDOW_BUCKETS
+            ):
+                wb = np.searchsorted(WINDOW_BUCKETS, ke, side="left")
+                prep_cm.__exit__(None, None, None)
+                subs = []
+                for w in np.unique(wb):
+                    grp = [
+                        active[j] for j in range(len(active)) if wb[j] == w
+                    ]
+                    subs.append(
+                        (grp, self.submit([inputs[i] for i in grp], params))
+                    )
+                return {
+                    "results": results,
+                    "active": active,
+                    "inputs": inputs,
+                    "params": params,
+                    "subs": subs,
+                }
+
+        # stage-A cap on |charcount difference|: DL >= |len(a) - len(q)|, so
+        # rows past min(k_ana, k_ed) can never survive stage B — the band
+        # AND the pair list shrink to +-k_len (2 vs 3 on default thresholds).
+        # Padding rows keep -1 (match nothing).
+        k_len = np.minimum(k_ana, k_ed)
+        k_len[len(active):] = -1
         q_cc = q_counts.sum(axis=1).astype(np.int32)
-        start_blk, nb_band = self._band_plan(q_cc, k_ana, B)
+        start_blk, nb_band = self._band_plan(q_cc, k_len, B)
         if self._band_over_ceiling(B, nb_band) and len(active) > 1:
             # band too wide for this batch bucket (mixed very-long/short
             # queries at high k): split proactively rather than compile an
@@ -1274,6 +1318,7 @@ class DevicePipeline:
                 q_first_lower,
                 k_ana,
                 k_ed,
+                k_len,
                 stop_exact,
                 start_blk,
                 weights_arr,
@@ -1477,6 +1522,13 @@ class DevicePipeline:
         active = state["active"]
         inputs = state["inputs"]
         if not active:
+            return [r if r is not None else [] for r in results]
+        if state.get("subs") is not None:
+            # window-mixed batch: sub-batches were already dispatched by
+            # submit(); collect each and scatter back into input order
+            for grp, sub in state["subs"]:
+                for i, r in zip(grp, self.collect(sub)):
+                    results[i] = r
             return [r if r is not None else [] for r in results]
         if state.get("split"):
             # band width exceeded the compile ceiling for this batch bucket

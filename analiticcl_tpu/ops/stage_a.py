@@ -90,6 +90,7 @@ def _stage_a_kernel(
     qbin_ref,  # [BT, AT] int8
     q_cc_ref,  # [1, BT] int32
     k_ana_ref,  # [1, BT] int32
+    k_len_ref,  # [1, BT] int32: min(k_ana, k_ed) — the length-difference cap
     bins_ref,  # [RB, AT] int8 (band block start_ref[j] + i)
     cc_ref,  # [RB, 1] int32
     packed_ref,  # [BT, RB/8] uint8 (query-major, banded coords)
@@ -108,7 +109,15 @@ def _stage_a_kernel(
         preferred_element_type=jnp.int32,
     )  # [RB, B]
     l1 = cc_ref[...] + q_cc_ref[0][None, :] - 2 * dot
-    mask = l1 <= k_ana_ref[0][None, :]
+    # |charcount difference| = |norm length difference| <= DL, so candidates
+    # past the per-query edit threshold can NEVER survive stage B's ld <=
+    # k_ed filter (lib.rs:1350-1378); dropping them here shrinks the pair
+    # list (and the caller's band) from +-k_ana to +-min(k_ana, k_ed) —
+    # 2 vs 3 on the default thresholds
+    ccd = cc_ref[...] - q_cc_ref[0][None, :]
+    mask = (l1 <= k_ana_ref[0][None, :]) & (
+        jnp.abs(ccd) <= k_len_ref[0][None, :]
+    )
     exact = l1 == 0
 
     # pack lex-major (the natural orientation of the [RB, B] tile), then
@@ -131,11 +140,11 @@ def _stage_a_kernel(
 
 
 def stage_a_masks_pallas(
-    bins, cc, qbin, q_cc, k_ana, start_blk, nb_band: int,
+    bins, cc, qbin, q_cc, k_ana, k_len, start_blk, nb_band: int,
     interpret: bool = False,
 ):
     """Fused banded Pallas path (TPU). Shapes: bins [Ni, AT] int8 (charcount-
-    sorted), cc [Ni] int32, qbin [B, AT] int8, q_cc/k_ana [B] int32,
+    sorted), cc [Ni] int32, qbin [B, AT] int8, q_cc/k_ana/k_len [B] int32,
     start_blk [B // B_TILE] int32 (band start block per query tile; must
     satisfy (start + nb_band) * ROW_BLOCK <= Ni). Ni must divide by
     ROW_BLOCK. Padded lexicon rows must carry a huge cc so they never match.
@@ -154,6 +163,7 @@ def stage_a_masks_pallas(
         grid=(nqt, nb_band),
         in_specs=[
             pl.BlockSpec((bt, AT), lambda j, i, s: (j, 0)),
+            pl.BlockSpec((1, bt), lambda j, i, s: (0, j)),
             pl.BlockSpec((1, bt), lambda j, i, s: (0, j)),
             pl.BlockSpec((1, bt), lambda j, i, s: (0, j)),
             pl.BlockSpec((rb, AT), lambda j, i, s: (s[j] + i, 0)),
@@ -184,6 +194,7 @@ def stage_a_masks_pallas(
         qbin,
         q_cc.reshape(1, B),
         k_ana.reshape(1, B),
+        k_len.reshape(1, B),
         bins,
         cc.reshape(Ni, 1),
     )
@@ -192,7 +203,7 @@ def stage_a_masks_pallas(
 
 
 def stage_a_masks_xla(
-    bins, cc, validrows, qbin, q_cc, k_ana, start_blk, nb_band: int
+    bins, cc, validrows, qbin, q_cc, k_ana, k_len, start_blk, nb_band: int
 ):
     """XLA fallback with identical banded outputs (CPU backend)."""
     Ni, AT = bins.shape
@@ -203,7 +214,7 @@ def stage_a_masks_xla(
     Nb = nb_band * rb
 
     def tile(args):
-        qb, qc, ka, sb = args
+        qb, qc, ka, kl, sb = args
         sr = sb * rb
         bins_b = jax.lax.dynamic_slice_in_dim(bins, sr, Nb, 0)
         cc_b = jax.lax.dynamic_slice_in_dim(cc, sr, Nb, 0)
@@ -213,7 +224,12 @@ def stage_a_masks_xla(
             preferred_element_type=jnp.int32,
         )  # [Nb, bt]
         l1 = cc_b[:, None] + qc[None, :] - 2 * summin
-        mask = (l1 <= ka[None, :]) & vr_b[:, None]
+        ccd = cc_b[:, None] - qc[None, :]
+        mask = (
+            (l1 <= ka[None, :])
+            & (jnp.abs(ccd) <= kl[None, :])
+            & vr_b[:, None]
+        )
         exact = (l1 == 0) & vr_b[:, None]
         packed_q = _pack_bits_rows_i32(mask).T.astype(jnp.uint8)
         exact_q = _pack_bits_rows_i32(exact).T.astype(jnp.uint8)
@@ -228,7 +244,7 @@ def stage_a_masks_xla(
 
     if nqt == 1:
         packed_q, exact_q, counts, nmatch, nexact = tile(
-            (qbin, q_cc, k_ana, start_blk[0])
+            (qbin, q_cc, k_ana, k_len, start_blk[0])
         )
         return packed_q, exact_q, counts, nmatch, nexact
     outs = jax.lax.map(
@@ -237,6 +253,7 @@ def stage_a_masks_xla(
             qbin.reshape(nqt, bt, AT),
             q_cc.reshape(nqt, bt),
             k_ana.reshape(nqt, bt),
+            k_len.reshape(nqt, bt),
             start_blk,
         ),
     )

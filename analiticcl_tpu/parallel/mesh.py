@@ -199,7 +199,8 @@ class ShardedPipeline(DevicePipeline):
         Ni_shard = self.Ni_shard
 
         idx_specs = (P("lex"),) * 7
-        q_specs = (P("dp"),) * 8  # q_counts, q_cc, q_norms, q_lens, q_fl, k_ana, k_ed, stop
+        # q_counts, q_cc, q_norms, q_lens, q_fl, k_ana, k_ed, k_len, stop
+        q_specs = (P("dp"),) * 9
         band_specs = (P("dp", "lex"),)  # start_blk [n_dp, n_lex, nqt_local]
         rep_specs = (P(), P())  # weights, threshold
 
@@ -218,7 +219,7 @@ class ShardedPipeline(DevicePipeline):
         def step(
             bins, cc, validrows, norms2, norm_lens, freqs, first_lower,
             q_counts, q_cc, q_norms, q_lens, q_first_lower, k_ana,
-            k_ed, stop_exact, start_blk, weights, score_threshold,
+            k_ed, k_len, stop_exact, start_blk, weights, score_threshold,
         ):
             B_local = q_counts.shape[0]
             (
@@ -227,7 +228,7 @@ class ShardedPipeline(DevicePipeline):
             ) = _query_core(
                 bins, cc, validrows, norms2, norm_lens, freqs, first_lower,
                 q_counts, q_cc, q_norms, q_lens, q_first_lower,
-                k_ana, k_ed, stop_exact, start_blk.reshape(-1),
+                k_ana, k_ed, k_len, stop_exact, start_blk.reshape(-1),
                 weights, score_threshold, have_freq,
                 P=P_, P2=P2, window=window, nb_band=nb_band,
                 use_stop_exact=use_stop_exact,
@@ -362,7 +363,7 @@ class ShardedPipeline(DevicePipeline):
         # shard query arrays over dp
         (
             q_counts, q_cc, q_norms, q_lens, q_first_lower, k_ana,
-            k_ed, stop_exact, start_blk, weights, score_threshold,
+            k_ed, k_len, stop_exact, start_blk, weights, score_threshold,
         ) = args
         B = q_counts.shape[0]
         P, P2 = self._budgets(B)
@@ -373,7 +374,7 @@ class ShardedPipeline(DevicePipeline):
         buf, max_freq = fn(
             *self._idx,
             q_counts, q_cc, q_norms, q_lens, q_first_lower, k_ana,
-            k_ed, stop_exact, start_blk, weights, score_threshold,
+            k_ed, k_len, stop_exact, start_blk, weights, score_threshold,
         )
         try:
             buf.copy_to_host_async()

@@ -421,10 +421,11 @@ def main():
     frozen = freeze_model_heap()
     log(f"gc: froze {frozen} model-heap objects")
 
-    # 4096-query device batches: the tunnel round trip (~30 ms) and the fixed
-    # dispatch cost amortize 4x vs 1024 (measured ~22k vs ~12k q/s median;
-    # 8192 measured worse — the pipeline-fill cost dominates at 2 batches)
-    B = 4096
+    # 4096-query device batches: the per-execution overhead (~20-25 ms on the
+    # remote axon helper, measured by chained-call probes) and the tunnel
+    # round trip amortize 4x vs 1024. ANALITICCL_BENCH_B overrides for
+    # batch-size sweeps.
+    B = int(os.environ.get("ANALITICCL_BENCH_B", "4096"))
     try:
         with Watchdog(900, "measurement warmup"):
             t0 = time.time()

@@ -92,6 +92,15 @@ def _util_report(model, snap):
     tail = st1.get("host_tail", 0.0) - st0.get("host_tail", 0.0)
     if tail:
         out["rank_tail_frac"] = round(tail / wall, 3)
+    # full per-stage wall deltas (seconds): the attribution behind the
+    # fractions, so a slow scenario is diagnosable from the artifact alone
+    stages = {
+        k: round(st1.get(k, 0.0) - st0.get(k, 0.0), 3)
+        for k in st1
+        if st1.get(k, 0.0) - st0.get(k, 0.0) > 0.0005
+    }
+    if stages:
+        out["stages_s"] = stages
     return out
 
 
@@ -633,6 +642,12 @@ def learn_1m():
     t0 = time.time()
     count = model.learn_variants(corpus, params, strict=True, auto_build=True)
     dt = time.time() - t0
+    pipe = model._device
+    stages = (
+        {k: round(v, 3) for k, v in pipe.stats.totals.items()}
+        if pipe is not None
+        else None
+    )
     return {
         "scenario": "learn_1m",
         "inputs_per_s": round(len(corpus) / dt, 1),
@@ -640,6 +655,7 @@ def learn_1m():
         "iteration_s": round(dt, 2),
         "build_s": round(build_s, 2),
         "phases": getattr(model, "learn_profile", None),
+        "pipe_stages": stages,
     }
 
 

@@ -164,11 +164,17 @@ def test_stage_a_pallas_matches_xla_bit_for_bit(seed, B):
     q_cc = qc.sum(axis=1).astype(np.int32)
     k_ana = rng.integers(0, 4, size=B).astype(np.int32)
     k_ana[0] = -1  # padding-row convention: matches nothing
+    # independent length cap (min(k_ana, k_ed) in production): exercises the
+    # |charcount difference| filter the kernel applies on top of the L1 test
+    k_len = np.minimum(k_ana, rng.integers(0, 4, size=B).astype(np.int32))
 
     # full-scan band: start block 0, width = whole (padded) lexicon
     start_blk = jnp.zeros(1, dtype=jnp.int32)
     nb_band = Ni // 1024
-    args = (jnp.asarray(qbin), jnp.asarray(q_cc), jnp.asarray(k_ana))
+    args = (
+        jnp.asarray(qbin), jnp.asarray(q_cc), jnp.asarray(k_ana),
+        jnp.asarray(k_len),
+    )
     p_packed, p_exact, p_counts, p_nm, p_ne = stage_a_masks_pallas(
         jnp.asarray(bins), jnp.asarray(cc), *args, start_blk, nb_band,
         interpret=True,
@@ -185,7 +191,10 @@ def test_stage_a_pallas_matches_xla_bit_for_bit(seed, B):
 
     # and against a direct numpy L1 computation
     l1 = np.abs(counts[:, None, :] - qc[None, :, :]).sum(axis=2)  # [Ni, B]
-    mask = (l1 <= k_ana[None, :]) & validrows[:, None]
+    ccd = np.abs(cc[:, None].astype(np.int64) - q_cc[None, :])
+    mask = (
+        (l1 <= k_ana[None, :]) & (ccd <= k_len[None, :]) & validrows[:, None]
+    )
     np.testing.assert_array_equal(np.asarray(x_nm), mask.sum(axis=0))
 
     # banded window [1024, 2048): both backends agree bit-for-bit and match
@@ -230,6 +239,7 @@ def test_stage_a_multi_tile_matches_single_tile(monkeypatch):
     qbin = (qc[:, :, None] > t_levels).reshape(B, AT).astype(np.int8)
     q_cc = qc.sum(axis=1).astype(np.int32)
     k_ana = rng.integers(0, 4, size=B).astype(np.int32)
+    k_len = k_ana  # no extra length cap: band plan below keys off k_ana
 
     # exact per-tile band plan (mirrors DevicePipeline._band_plan)
     bt = stage_a._b_tile(B, Ni)
@@ -243,7 +253,10 @@ def test_stage_a_multi_tile_matches_single_tile(monkeypatch):
     nb_band = int(np.maximum(-(-hi_row // 1024) - start, 1).max())
     start = np.minimum(start, Ni // 1024 - nb_band)
 
-    args = (jnp.asarray(qbin), jnp.asarray(q_cc), jnp.asarray(k_ana))
+    args = (
+        jnp.asarray(qbin), jnp.asarray(q_cc), jnp.asarray(k_ana),
+        jnp.asarray(k_len),
+    )
     pb = stage_a.stage_a_masks_pallas(
         jnp.asarray(bins), jnp.asarray(cc), *args, jnp.asarray(start),
         nb_band, interpret=True,

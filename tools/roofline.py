@@ -151,6 +151,26 @@ def main():
     t_b_vec = flops_b / PEAK_BF16
 
     t_floor = max(t_a_mxu, t_a_hbm) + max(t_b_hbm, t_b_vec)
+    record = {
+        "metric": "roofline_fused_query",
+        "B": B,
+        "Ni": pipe.Ni,
+        "nb_band": nb_band,
+        "P": P,
+        "P2": P2,
+        "window": window,
+        "xla_cost_model": {
+            "backend": backend,
+            "gflop": round(xla_flops / 1e9, 3),
+            "gb_accessed": round(xla_bytes / 1e9, 4),
+        },
+        "analytic_floor_ms": round(t_floor * 1e3, 4),
+        "stage_a_mxu_floor_ms": round(t_a_mxu * 1e3, 4),
+        "stage_a_hbm_floor_ms": round(t_a_hbm * 1e3, 4),
+        "stage_b_hbm_floor_ms": round(t_b_hbm * 1e3, 4),
+        "stage_b_vec_floor_ms": round(t_b_vec * 1e3, 4),
+        "ceiling_qps": round(B / t_floor, 1),
+    }
     print("--- analytic roofline (v5e) ---")
     print(
         "(floor is optimistic: the pair-compaction binary search, random "
@@ -171,9 +191,26 @@ def main():
         f"=> ceiling ~= {B / t_floor:,.0f} q/s (B={B})"
     )
 
+    def write_record():
+        """Stamped JSON artifact (benchmarks/ROOFLINE.json): the roofline
+        number on file, tied to a commit (VERDICT r4 weak #7)."""
+        import json
+
+        from analiticcl_tpu.utils.provenance import stamp
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "benchmarks", "ROOFLINE.json",
+        )
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(stamp(record), f, indent=1)
+            f.write("\n")
+        log(f"wrote {path}")
+
     # ---- 3. measured (real TPU only) ----
     if args.no_measure or backend == "cpu":
         print("measured: skipped (CPU backend or --no-measure)")
+        write_record()
         return
     for _ in range(2):  # warm
         jax.block_until_ready(orig(*a, **kw))
@@ -190,6 +227,14 @@ def main():
         f"= {B / med:,.0f} q/s device-only; "
         f"{100 * t_floor / med:.0f}% of the analytic floor"
     )
+    record["measured_ms_per_batch"] = {
+        "median": round(med * 1e3, 3),
+        "min": round(times[0] * 1e3, 3),
+        "max": round(times[-1] * 1e3, 3),
+    }
+    record["device_only_qps"] = round(B / med, 1)
+    record["pct_of_analytic_floor"] = round(100 * t_floor / med, 1)
+    write_record()
 
 
 if __name__ == "__main__":
