@@ -456,7 +456,11 @@ def main():
     # windows — robust to transient load without paying the pipeline-fill
     # latency five times. The running median is EMITTED AFTER EVERY WINDOW:
     # if the tunnel dies mid-run, stdout already holds a parseable record.
-    N_PASSES = 5
+    # window count: the first 1-2 windows still carry pipeline fill + the
+    # remote helper warming out of its post-compile slow mode (r5 traces ramp
+    # 64k -> 106k over five windows); 9 windows put the median in the settled
+    # region while keeping the run under ~10 s of measurement
+    N_PASSES = int(os.environ.get("ANALITICCL_BENCH_PASSES", "9"))
     all_queries = queries * N_PASSES
     passes = []
     details: list[dict] = []
@@ -499,6 +503,10 @@ def main():
                  pass_details=details, outage="tunnel died mid-measurement")
             raise SystemExit(0)
         emit_outage_fallback("tunnel died before any measurement window")
+    try:
+        model._device.stats.report()
+    except Exception:
+        pass
     ordered = sorted(passes)
     qps = ordered[len(ordered) // 2]
     spread = ordered[-1] / ordered[0]

@@ -638,7 +638,20 @@ def learn_1m():
         max_matches=3,
         score_threshold=0.7,
     )
-    list(model.find_variants_stream(corpus[:2048], params))  # compile
+    # warm the EXACT batch buckets the strict-learn stream will use (its
+    # bs = min(4096, pipe.max_B), plus the tail batch's bucket): a fused
+    # compile on the remote helper costs tens of seconds and must not land
+    # inside the timed iteration (r4: learn_1m read 284 inputs/s because
+    # the 2048-bucket warmup didn't cover the 4096-bucket stream)
+    from analiticcl_tpu.ops.pipeline import get_device_pipeline
+
+    pipe = model._device or get_device_pipeline(model)
+    bs = min(4096, pipe.max_B)
+    model.find_variants_batch(corpus[:bs], params)
+    model.find_variants_batch(corpus[:bs], params)  # settle budgets
+    tail = len(corpus) % bs
+    if tail:
+        model.find_variants_batch(corpus[-tail:], params)
     t0 = time.time()
     count = model.learn_variants(corpus, params, strict=True, auto_build=True)
     dt = time.time() - t0
