@@ -491,3 +491,36 @@ def test_fastemit_matches_python_bulk_construction():
         for row in out:
             for r in row:
                 assert type(r) is VariantResult and r.via is None
+
+
+def test_window_split_ratio_thresholds(eng_model):
+    """Ratio thresholds mix DL window buckets within one batch (len<=13 ->
+    W3, 14-23 -> W6, >=24 -> W12): submit() must split the batch into
+    per-window sub-submissions (pipeline.WINDOW_BUCKETS) with results
+    bit-identical to the oracle and in input order."""
+    params = SearchParameters(
+        max_anagram_distance=DistanceThreshold.ratio_of(0.5),
+        max_edit_distance=DistanceThreshold.ratio_of(0.3),
+        max_matches=5,
+        score_threshold=0.25,
+    )
+    queries = [
+        "cat", "theere", "misunderstanding", "howse",
+        "uncharacteristicaly", "apoximately", "a", "extraordinarily",
+        "internationalizations", "zzzzz", "recieve", "dissatisfactions",
+    ]
+    eng_model.set_backend("oracle")
+    want = [eng_model.find_variants(q, params) for q in queries]
+    eng_model.set_backend("device")
+    got = eng_model.find_variants_batch(queries, params)
+    for q, w, g in zip(queries, want, got):
+        assert _result_tuples(eng_model, g) == _result_tuples(eng_model, w), q
+    # the split actually happened: k_ed spans more than one window bucket
+    import numpy as np
+
+    from analiticcl_tpu.ops.pipeline import WINDOW_BUCKETS, _bucket
+
+    k_eds = {
+        _bucket(min(len(q) * 3 // 10, 12), WINDOW_BUCKETS) for q in queries
+    }
+    assert len(k_eds) > 1
