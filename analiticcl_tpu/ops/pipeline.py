@@ -1333,8 +1333,11 @@ class DevicePipeline:
         prep_cm.__exit__(None, None, None)
 
         # async dispatch at the current sticky budgets; collect() re-runs
-        # synchronously on overflow
-        out = self._submit_fused(args, window, nb_band, use_se)
+        # synchronously on overflow. Timed separately from host_prep: on a
+        # wedged tunnel the nominally-async dispatch can block for seconds,
+        # which otherwise shows up nowhere in the stage report.
+        with self.stats.stage("dispatch"):
+            out = self._submit_fused(args, window, nb_band, use_se)
         return {
             "results": results,
             "active": active,

@@ -385,10 +385,11 @@ def build_1m():
         max_edit_distance=DistanceThreshold.absolute(2),
         max_matches=10,
     )
-    # B=1024 measures faster than 2048 at 1M rows on a single chip: the
-    # full-band mask and the pair-budget [P] stages scale superlinearly with
-    # the batch while the tunnel RTT amortization has already flattened
-    qps, util = _throughput(model, queries, params, budget_s=40.0, batch=1024)
+    # B=2048 (the 1M-row compile ceiling) measures ~26% faster than 1024
+    # since the length-difference cut halved the band: 29.0k vs 23.0k q/s
+    # (r5 sweep, /tmp/sweep_1m2); the per-batch sync overhead amortizes
+    # across more queries
+    qps, util = _throughput(model, queries, params, budget_s=40.0, batch=2048)
     return {
         "scenario": "build_1m",
         "load_s": round(load_s, 2),
@@ -588,7 +589,7 @@ def sharded_1m():
         max_edit_distance=DistanceThreshold.absolute(2),
         max_matches=10,
     )
-    batch = min(1024, pipe.max_B)  # see build_1m: optimal at 1M single-chip
+    batch = min(2048, pipe.max_B)  # see build_1m: optimal at 1M single-chip
     pipe.collect(pipe.submit(queries[:batch], params))  # compile
     pipe.collect(pipe.submit(queries[:batch], params))  # settle budgets
     batches = [queries[i : i + batch] for i in range(0, len(queries), batch)]
