@@ -110,6 +110,18 @@ class BuiltIndex:
             }
         return self.group_lookup
 
+    def vid_to_row(self) -> np.ndarray:
+        """Inverse of vocab_ids: row index per vocab id, -1 when not indexed.
+        Built lazily (one scatter); learn's incremental freq refresh updates
+        only the bumped rows through it. Sized to the vids known at build
+        time — later (transparent, non-indexed) vids simply fall outside."""
+        if getattr(self, "_vid_to_row", None) is None:
+            n = int(self.vocab_ids.max(initial=-1)) + 1
+            inv = np.full(n, -1, dtype=np.int64)
+            inv[self.vocab_ids] = np.arange(len(self.vocab_ids))
+            self._vid_to_row = inv
+        return self._vid_to_row
+
     @property
     def size(self) -> int:
         return len(self.vocab_ids)
@@ -2725,13 +2737,39 @@ class VariantModel:
                 _t_lookup += _time.perf_counter() - t0
                 yield item
 
+        # Incremental-rebuild eligibility, tracked while merging. The learn
+        # vocabparams give new entries VocabType.TRANSPARENT with NO INDEXED
+        # or LM bit (with_vocab_type REPLACES, mirroring lib.rs:1077), so a
+        # learn iteration can only (a) append non-indexed entries and
+        # (b) bump frequencies of existing entries. Unless a bumped entry is
+        # LM-typed (its frequency feeds the LM tables) or an index-relevant
+        # structural change happened elsewhere, the post-learn build()
+        # would reproduce the SAME (anavalue, vid) index with only the freqs
+        # column changed — so auto_build degrades to a freqs refresh plus an
+        # in-place device column update (full 1M rebuild: ~6 s; refresh:
+        # ~0.3 s — the learn_1m wall is otherwise rebuild-dominated).
+        lm_flag = int(VocabType.LM)
+        indexed_flag = int(VocabType.INDEXED)
+        structural = self.index is None
+        bumped: set = set()  # vids whose frequency changed
+        n_decoder_before = len(decoder)
+
         for inputstr, ref_id, dist_score in _timed_triples():
             vocab_id = encoder_get(inputstr)
             if vocab_id is not None:
                 if prev != inputstr:
                     decoder[vocab_id].frequency += 1
+                    bumped.add(vocab_id)
+                    if decoder[vocab_id].vocabtype.value & lm_flag:
+                        structural = True
             else:
                 vocab_id = self.add_to_vocabulary(inputstr, 1, vocabparams)
+                if vocab_id < n_decoder_before:
+                    bumped.add(vocab_id)  # reused an existing entry
+                if vocab_id < len(decoder) and (
+                    decoder[vocab_id].vocabtype.value & (indexed_flag | lm_flag)
+                ):
+                    structural = True
             if ref_id != vocab_id:
                 # inlined add_variant_by_id with cached dedup sets
                 # (add_variant_by_id returns True whenever the ids differ)
@@ -2776,16 +2814,62 @@ class VariantModel:
             prev = inputstr
         _t_merge = _time.perf_counter() - _t_merge_start - _t_lookup
         _t_build = 0.0
+        build_mode = "none"
         if auto_build:
             t0 = _time.perf_counter()
-            self.build()
+            if structural:
+                self.build()
+                build_mode = "full"
+            else:
+                if bumped:
+                    self._refresh_index_freqs(bumped)
+                build_mode = "freq_refresh" if bumped else "noop"
             _t_build = _time.perf_counter() - t0
         self.learn_profile = {
             "lookup_s": round(_t_lookup, 3),
             "merge_s": round(_t_merge, 3),
             "build_s": round(_t_build, 3),
+            "build_mode": build_mode,
         }
         return count
+
+    def _refresh_index_freqs(self, bumped=None) -> None:
+        """Refresh the built index's frequency column from the decoder,
+        in place, including any live device copy.
+
+        Exactness: equals a full build() when (and only when — callers
+        guarantee it) the set of INDEXED texts, the LM entries, and every
+        vocabtype are unchanged since the last build: the canonical sort,
+        norms, charcounts, first_lower, and group ranges are functions of
+        the texts alone, and freqs is the one column read from the decoder
+        (build(): ``freqs = dec_freq[vocab_ids]``). With ``bumped`` (the
+        vids whose frequency changed), only those rows are written — a few
+        thousand scalar stores instead of a 1M-object decoder scan."""
+        index = self.index
+        if index is None:
+            return
+        decoder = self.decoder
+        if bumped is not None:
+            inv = index.vid_to_row()
+            n = inv.shape[0]
+            freqs = index.freqs
+            for vid in bumped:
+                if vid < n:
+                    row = inv[vid]
+                    if row >= 0:
+                        freqs[row] = decoder[vid].frequency
+        else:
+            dec_freq = np.fromiter(
+                (v.frequency for v in decoder), dtype=np.float64,
+                count=len(decoder),
+            )
+            index.freqs = dec_freq[index.vocab_ids]
+        if self._device is not None:
+            refresh = getattr(self._device, "refresh_freqs", None)
+            if refresh is not None:
+                refresh(index.freqs)
+            else:  # pipeline without in-place support: rebuild lazily
+                self._device = None
 
     # ------------------------------------------------------------------
     # Helpers used by search mode & output

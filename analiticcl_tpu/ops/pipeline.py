@@ -996,6 +996,23 @@ class DevicePipeline:
 
     # ------------------------------------------------------------------
 
+    def refresh_freqs(self, freqs_canonical: np.ndarray) -> None:
+        """Replace the device frequency column in place.
+
+        Used by learn's incremental auto_build (variant_model.
+        _refresh_index_freqs): when an iteration only bumped frequencies,
+        re-uploading this one [Ni_pad] uint32 column (~4 MB at 1M rows)
+        replaces a full index rebuild + ~390 MB re-upload. ``freqs_canonical``
+        is index.freqs in canonical row order; device rows apply the
+        charcount-sort permutation (_canon_of). Compiled executables are
+        unaffected — index arrays are jit arguments, not constants."""
+        freqs = np.asarray(
+            freqs_canonical[self._canon_of], dtype=np.uint32
+        )
+        idx = list(self._idx)
+        idx[5] = jnp.asarray(freqs)
+        self._idx = tuple(idx)
+
     def _hint_key(self, B: int) -> str:
         return f"{jax.default_backend()}:{self.Ni}:{B}"
 

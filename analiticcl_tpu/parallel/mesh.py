@@ -187,6 +187,16 @@ class ShardedPipeline(DevicePipeline):
 
     # ------------------------------------------------------------------
 
+    def refresh_freqs(self, freqs_canonical: np.ndarray) -> None:
+        """Sharded twin of DevicePipeline.refresh_freqs: one [Ni_pad]
+        uint32 column re-uploaded with the lex row sharding."""
+        freqs = np.asarray(
+            freqs_canonical[self._canon_of], dtype=np.uint32
+        )
+        idx = list(self._idx)
+        idx[5] = jax.device_put(freqs, NamedSharding(self.mesh, P("lex")))
+        self._idx = tuple(idx)
+
     def _sharded_fn(
         self, P_: int, P2: int, window: int, nb_band: int,
         use_stop_exact: bool, have_freq: bool,

@@ -159,3 +159,66 @@ def test_learn_strict_device_equals_oracle():
         )
         results[backend] = (count, snapshot(model))
     assert results["device"] == results["oracle"]
+
+
+def test_learn_incremental_rebuild_equals_full_build():
+    """A strict-learn iteration only appends TRANSPARENT (non-indexed)
+    entries and bumps frequencies, so auto_build degrades to a freqs
+    refresh (learn_profile.build_mode == 'freq_refresh'); the resulting
+    index and query results must be bit-identical to a forced full
+    build()."""
+    import numpy as np
+
+    corpus = ["rihgt", "thinck", "rihgt", "yuo", "aer", "thinck"]
+    params = get_test_searchparams()
+
+    m_inc = _model()
+    m_full = _model()
+    c1 = m_inc.learn_variants(corpus, params, strict=True, auto_build=True)
+    assert m_inc.learn_profile["build_mode"] == "freq_refresh"
+    c2 = m_full.learn_variants(corpus, params, strict=True, auto_build=False)
+    m_full.build()
+    assert c1 == c2
+
+    a, b = m_inc.index, m_full.index
+    np.testing.assert_array_equal(a.vocab_ids, b.vocab_ids)
+    np.testing.assert_array_equal(a.counts, b.counts)
+    np.testing.assert_array_equal(a.norms, b.norms)
+    np.testing.assert_array_equal(a.freqs, b.freqs)
+    np.testing.assert_array_equal(a.first_lower, b.first_lower)
+    np.testing.assert_array_equal(a.group_ranges, b.group_ranges)
+
+    def tuples(m, res):
+        return [
+            (m.decoder[r.vocab_id].text, r.dist_score, r.freq_score)
+            for r in res
+        ]
+
+    for q in ["rihgt", "thinck", "right", "yuo"]:
+        assert tuples(m_inc, m_inc.find_variants(q, params)) == tuples(
+            m_full, m_full.find_variants(q, params)
+        ), q
+
+    # a second iteration on the refreshed model keeps converging
+    c3 = m_inc.learn_variants(corpus, params, strict=True, auto_build=True)
+    assert c3 >= 0
+
+
+def test_learn_full_rebuild_when_lm_frequency_touched():
+    """Bumping an LM-typed entry's frequency invalidates the LM tables, so
+    auto_build must take the full path."""
+    alphabet, _ = get_test_alphabet()
+    model = VariantModel.new_with_alphabet(alphabet, Weights(), 0)
+    for w in ("right", "think", "you"):
+        model.add_to_vocabulary(w, 2, VocabParams())
+    model.add_to_vocabulary(
+        "tonight", 3, VocabParams(vocab_type=VocabType.LM | VocabType.INDEXED)
+    )
+    model.build()
+    # "tonight" is an exact input occurrence: its frequency increments, and
+    # since it is LM-typed the LM tables depend on it
+    model.learn_variants(
+        ["tonight", "rihgt"], get_test_searchparams(), strict=True,
+        auto_build=True,
+    )
+    assert model.learn_profile["build_mode"] == "full"
