@@ -431,33 +431,58 @@ def consolidate_unit(
     from ..types import VariantResult
 
     if isinstance(found, RankedResults):
-        vid_l = found.vid.tolist()
-        ds_l = found.ds.tolist()
-        fq_l = found.fq.tolist()
-        sb_l = found.sbounds.tolist()
         row_l = found.row_of.tolist()
         f_over = found.overrides
+        nrows_f = len(found.sbounds) - 1
+        from ..utils.native import fastemit_build_result_lists
 
-        def variants_of(q: int):
-            got = found_cache.get(q)
-            if got is not None:
-                return got
-            res = f_over.get(q)
-            if res is None:
-                row = row_l[q]
-                if row < 0:
-                    res = []
-                else:
-                    lo2 = sb_l[row]
-                    hi2 = sb_l[row + 1]
-                    res = list(
-                        map(
-                            VariantResult,
-                            vid_l[lo2:hi2], ds_l[lo2:hi2], fq_l[lo2:hi2],
+        femit = fastemit_build_result_lists()
+        if femit is not None and nrows_f >= 0:
+            # ONE C call builds every row's VariantResult list (matches with
+            # the same qidx share the list object, like the object path's
+            # cached __getitem__). Per-call Python construction measured
+            # ~22 us per materialized segment — about half of consolidate.
+            rows_lists = femit(
+                VariantResult,
+                np.ascontiguousarray(found.vid, dtype=np.int64),
+                np.ascontiguousarray(found.ds, dtype=np.float64),
+                np.ascontiguousarray(found.fq, dtype=np.float64),
+                np.ascontiguousarray(found.sbounds, dtype=np.int64),
+                nrows_f,
+            )
+
+            def variants_of(q: int):
+                res = f_over.get(q)
+                if res is None:
+                    row = row_l[q]
+                    res = rows_lists[row] if row >= 0 else []
+                return res
+        else:
+            vid_l = found.vid.tolist()
+            ds_l = found.ds.tolist()
+            fq_l = found.fq.tolist()
+            sb_l = found.sbounds.tolist()
+
+            def variants_of(q: int):
+                got = found_cache.get(q)
+                if got is not None:
+                    return got
+                res = f_over.get(q)
+                if res is None:
+                    row = row_l[q]
+                    if row < 0:
+                        res = []
+                    else:
+                        lo2 = sb_l[row]
+                        hi2 = sb_l[row + 1]
+                        res = list(
+                            map(
+                                VariantResult,
+                                vid_l[lo2:hi2], ds_l[lo2:hi2], fq_l[lo2:hi2],
+                            )
                         )
-                    )
-            found_cache[q] = res
-            return res
+                found_cache[q] = res
+                return res
     else:
 
         def variants_of(q: int):

@@ -1577,6 +1577,17 @@ class VariantModel:
             params.max_ngram > 1 or self.have_lm or bool(self.context_rules)
         )
 
+        def submit_lookups(all_texts):
+            """Dispatch a unit's deduplicated lookups as one or more ranked
+            batches (oversized units split at max_B — the results
+            concatenate back into ONE RankedResults at collect)."""
+            sts = []
+            for s in range(0, len(all_texts), pipe.max_B):
+                st = pipe.submit(all_texts[s : s + pipe.max_B], params)
+                st["want_ranked"] = True
+                sts.append(st)
+            return sts
+
         def submit_unit(unit_texts, unit_tokens):
             nonlocal est_factor
             all_texts = None
@@ -1593,35 +1604,27 @@ class VariantModel:
                         est_factor = 0.5 * est_factor + 0.5 * (
                             len(all_texts) / unit_tokens
                         )
-                    if all_texts and len(all_texts) <= pipe.max_B:
-                        st = pipe.submit(all_texts, params)
-                        st["want_ranked"] = True
-                        return ("arr", unit, None, st, None)
-                    fb = (
-                        self.find_variants_batch(all_texts, params)
-                        if all_texts
-                        else []
-                    )
-                    return ("arr", unit, None, None, fb)
+                    return ("arr", unit, None, submit_lookups(all_texts), [])
             preps, uniq, all_texts = self._fam_prepare(unit_texts, params)
             if unit_tokens:
                 est_factor = 0.5 * est_factor + 0.5 * (
                     len(all_texts) / unit_tokens
                 )
-            if all_texts and len(all_texts) <= pipe.max_B:
-                st = pipe.submit(all_texts, params)
-                st["want_ranked"] = True  # array-native consolidation
-                return ("obj", preps, uniq, st, None)
-            fb = (
-                self.find_variants_batch(all_texts, params)
-                if all_texts
-                else []
-            )
-            return ("obj", preps, uniq, None, fb)
+            return ("obj", preps, uniq, submit_lookups(all_texts), [])
 
         def flush_one():
-            kind, preps, uniq, st, fb = pending.pop(0)
-            found = pipe.collect(st) if st is not None else fb
+            from ..ops.pipeline import RankedResults
+
+            kind, preps, uniq, sts, fb = pending.pop(0)
+            parts = [pipe.collect(st) for st in sts] if sts else [fb]
+            if all(isinstance(p, RankedResults) for p in parts):
+                found = RankedResults.concat(parts)
+            else:
+                # a sub-batch fell off the ranked path (overflow split,
+                # object-tail rows): merge as eager per-query lists
+                found = []
+                for p in parts:
+                    found.extend(list(p))
             if kind == "arr":
                 from . import search_fast
 

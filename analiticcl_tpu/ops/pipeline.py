@@ -183,6 +183,13 @@ def _save_budget_hint(key: str, value: Tuple[int, int]) -> None:
         pass
 
 
+def _params_key(params: SearchParameters) -> tuple:
+    """Hashable fingerprint of a SearchParameters (oracle-memo key)."""
+    import dataclasses
+
+    return dataclasses.astuple(params)
+
+
 def _resolve_thresholds(threshold, lens: np.ndarray, cap: int) -> np.ndarray:
     """Vectorized DistanceThreshold.resolve (lib.rs:982-1012 semantics)."""
     if threshold.kind is _ThresholdKind.RATIO:
@@ -832,6 +839,39 @@ class RankedResults:
     def __iter__(self):
         return (self[i] for i in range(self.n))
 
+    @staticmethod
+    def concat(parts: Sequence["RankedResults"]) -> "RankedResults":
+        """Concatenate batch results into one RankedResults whose input
+        indices run over the parts in order — so a search unit whose unique
+        segments exceed one batch bucket can be submitted as several ranked
+        batches and consolidated array-natively (the eager fallback costs
+        ~4-15x: device arrays -> objects -> arrays again)."""
+        if len(parts) == 1:
+            return parts[0]
+        n = sum(p.n for p in parts)
+        vid = np.concatenate([p.vid for p in parts])
+        ds = np.concatenate([p.ds for p in parts])
+        fq = np.concatenate([p.fq for p in parts])
+        row_of = np.full(n, -1, dtype=np.int64)
+        sb_parts = [np.zeros(1, dtype=np.int64)]
+        overrides: dict = {}
+        qoff = 0
+        voff = 0
+        row_off = 0
+        for p in parts:
+            sb = np.asarray(p.sbounds, dtype=np.int64)
+            sb_parts.append(sb[1:] + voff)
+            pr = np.asarray(p.row_of, dtype=np.int64)
+            row_of[qoff : qoff + p.n] = np.where(pr >= 0, pr + row_off, -1)
+            for k, v in p.overrides.items():
+                overrides[qoff + k] = v
+            voff += int(sb[-1])
+            row_off += len(sb) - 1
+            qoff += p.n
+        return RankedResults(
+            n, vid, ds, fq, row_of, np.concatenate(sb_parts), overrides
+        )
+
     def arrays_of(self, i: int):
         """(lo, hi) into vid/ds/fq for input ``i``, or None when the input
         was resolved outside the fast tail (use ``[i]`` instead)."""
@@ -993,6 +1033,10 @@ class DevicePipeline:
         from ..utils.profiling import StageTimer
 
         self.stats = StageTimer()
+        # (text, params) -> oracle results for over-long queries; bounded,
+        # cleared whenever frequencies refresh (freq_score is part of the
+        # memoized VariantResults)
+        self._oracle_memo: dict = {}
 
     # ------------------------------------------------------------------
 
@@ -1012,6 +1056,7 @@ class DevicePipeline:
         idx = list(self._idx)
         idx[5] = jnp.asarray(freqs)
         self._idx = tuple(idx)
+        self._oracle_memo.clear()
 
     def _hint_key(self, B: int) -> str:
         return f"{jax.default_backend()}:{self.Ni}:{B}"
@@ -1207,29 +1252,37 @@ class DevicePipeline:
         A, T, L = self.A, self.T, self.L
         # batch-normalize every query in one native pass
         all_norms, all_lens = enc.normalize_batch_padded(list(inputs), L)
-        active: List[int] = []
         max_cand_len = int(self.model.index.max_norm_len)
-        for i, text in enumerate(inputs):
+        # classify vectorized (a per-input Python loop costs ~5 us/input —
+        # search units carry ~7k unique segments per submit)
+        lens_n = all_lens[:n]
+        over_mask = lens_n > self.L
+        empty_mask = lens_n == 0
+        active = np.nonzero(~over_mask & ~empty_mask)[0].tolist()
+        for i in np.nonzero(empty_mask)[0].tolist():
+            results[i] = []
+        for i in np.nonzero(over_mask)[0].tolist():
+            # query longer than any index entry: DL >= length difference,
+            # so if that exceeds the edit threshold the result is provably
+            # empty (common for ngram segments in search mode); otherwise
+            # fall back to the exact host path for this rare query —
+            # memoized, because streamed corpora repeat segments and each
+            # BFS costs ~0.3 ms (eng) to seconds (1M rows)
+            text = inputs[i]
             ln = int(all_lens[i])
-            if ln == 0:
+            k_ed_i = params.max_edit_distance.resolve(ln, _MAX_EDIT_DISTANCE)
+            if ln - max_cand_len > k_ed_i:
                 results[i] = []
-            elif ln > self.L:
-                # query longer than any index entry: DL >= length difference,
-                # so if that exceeds the edit threshold the result is provably
-                # empty (common for ngram segments in search mode); otherwise
-                # fall back to the exact host path for this rare query
-                k_ed_i = params.max_edit_distance.resolve(
-                    ln, _MAX_EDIT_DISTANCE
-                )
-                if ln - max_cand_len > k_ed_i:
-                    results[i] = []
-                else:
-                    # host BFS per query — seconds each on big lexicons, so
-                    # it gets its own stage for attribution (learn_1m r4)
-                    with self.stats.stage("host_oracle_fallback"):
-                        results[i] = model._find_variants_oracle(text, params)
             else:
-                active.append(i)
+                key = (text, _params_key(params))
+                got = self._oracle_memo.get(key)
+                if got is None:
+                    with self.stats.stage("host_oracle_fallback"):
+                        got = model._find_variants_oracle(text, params)
+                    if len(self._oracle_memo) >= 100_000:
+                        self._oracle_memo.clear()
+                    self._oracle_memo[key] = got
+                results[i] = list(got)
         if not active:
             prep_cm.__exit__(None, None, None)
             return {"results": results, "active": [], "inputs": inputs}

@@ -184,6 +184,7 @@ class ShardedPipeline(DevicePipeline):
         from ..utils.profiling import StageTimer
 
         self.stats = StageTimer()
+        self._oracle_memo: dict = {}  # see DevicePipeline
 
     # ------------------------------------------------------------------
 
@@ -196,6 +197,7 @@ class ShardedPipeline(DevicePipeline):
         idx = list(self._idx)
         idx[5] = jax.device_put(freqs, NamedSharding(self.mesh, P("lex")))
         self._idx = tuple(idx)
+        self._oracle_memo.clear()
 
     def _sharded_fn(
         self, P_: int, P2: int, window: int, nb_band: int,

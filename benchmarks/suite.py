@@ -101,6 +101,8 @@ def _util_report(model, snap):
     }
     if stages:
         out["stages_s"] = stages
+        c1 = dict(pipe.stats.counts) if pipe is not None else {}
+        out["stage_calls"] = {k: c1.get(k, 0) for k in stages}
     return out
 
 
