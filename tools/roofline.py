@@ -85,7 +85,17 @@ def main():
 
     pipe = get_device_pipeline(model)
     B = min(args.batch, pipe.max_B)
-    queries = [corrupt(w) for w in words[: B]]
+    # spread the sample across the whole lexicon: an alphabetical prefix
+    # (decoder order) concentrates near-identical words and inflates the
+    # pair budget ~4x beyond any production batch
+    step = max(1, len(words) // B)
+    queries = [corrupt(w) for w in words[::step][:B]]
+
+    # settle the sticky pair budgets BEFORE capturing (escalation and
+    # de-escalation both change P; the captured program must be the
+    # steady-state production variant)
+    for _ in range(2 + pipe.DEESC_N):
+        pipe.collect(pipe.submit(queries, params))
 
     # capture the exact (args, statics) of one production fused call
     captured = {}
