@@ -421,11 +421,12 @@ def main():
     frozen = freeze_model_heap()
     log(f"gc: froze {frozen} model-heap objects")
 
-    # 4096-query device batches: the per-execution overhead (~20-25 ms on the
-    # remote axon helper, measured by chained-call probes) and the tunnel
-    # round trip amortize 4x vs 1024. ANALITICCL_BENCH_B overrides for
-    # batch-size sweeps.
-    B = int(os.environ.get("ANALITICCL_BENCH_B", "4096"))
+    # 8192-query device batches: the per-sync overhead (~25 ms on the remote
+    # axon helper, measured by chained-call probes and the RTT meter) is the
+    # dominant fixed cost, and the settled pair budget grows sublinearly
+    # with B — measured medians 84.3k q/s at B=4096 vs 140.0k at B=8192
+    # (same commit, back-to-back runs). ANALITICCL_BENCH_B overrides.
+    B = int(os.environ.get("ANALITICCL_BENCH_B", "8192"))
     try:
         with Watchdog(900, "measurement warmup"):
             t0 = time.time()

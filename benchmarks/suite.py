@@ -113,9 +113,18 @@ def _throughput(model, queries, params, budget_s=None, batch=None):
     Returns (qps, utilization dict)."""
     budget_s = BUDGET_S if budget_s is None else budget_s
     if batch is None:  # device-batch knob (tools/sweep_knobs.py tunes it)
-        batch = int(os.environ.get("ANALITICCL_QUERY_BATCH", "4096"))
+        # 8192 beats 4096 ~1.7x on the sync-overhead-dominated eng workload
+        # (see bench.py); lexicons whose compile ceiling caps max_B lower
+        # pass an explicit batch (build_1m/sharded_1m)
+        batch = int(os.environ.get("ANALITICCL_QUERY_BATCH", "8192"))
     model.find_variants_batch(queries[:batch], params)  # compile
-    model.find_variants_batch(queries[:batch], params)  # settle budgets
+    # settle the sticky budgets through BOTH escalation and de-escalation:
+    # deesc fires after DEESC_N non-overflow batches and recompiles at the
+    # shrunken budget — in r5 a ~45 s mid-window recompile read as 882 q/s
+    pipe = getattr(model, "_device", None)
+    n_settle = 1 + (pipe.DEESC_N if pipe is not None else 6)
+    for _ in range(n_settle):
+        model.find_variants_batch(queries[:batch], params)
     tail = len(queries) % batch
     if tail:  # warm the final partial-batch bucket too
         model.find_variants_batch(queries[-tail:], params)
@@ -215,7 +224,8 @@ def search_text():
     groups = ["\n".join(sentences[i : i + 100]) for i in range(0, 512, 100)]
     tokens_of = [sum(len(s.split()) for s in g.split("\n")) for g in groups]
     model.find_all_matches(text, params)  # compile all shape variants
-    list(model.find_all_matches_stream(groups, params))  # settle budgets
+    for _ in range(3):  # settle budgets incl. the deesc recompile (>=6 units)
+        list(model.find_all_matches_stream(groups, params))
 
     def cycle():
         while True:
@@ -285,7 +295,8 @@ def search_lm():
     groups = ["\n".join(sentences[i : i + 100]) for i in range(0, 512, 100)]
     tokens_of = [sum(len(s.split()) for s in g.split("\n")) for g in groups]
     model.find_all_matches(groups[0], params)  # compile
-    list(model.find_all_matches_stream(groups, params))  # settle budgets
+    for _ in range(3):  # settle budgets incl. the deesc recompile
+        list(model.find_all_matches_stream(groups, params))
 
     def cycle():
         while True:
