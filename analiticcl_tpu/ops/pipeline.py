@@ -201,6 +201,13 @@ def _resolve_thresholds(threshold, lens: np.ndarray, cap: int) -> np.ndarray:
     return np.minimum(threshold.limit, lens // 2).astype(np.int32)
 
 
+def _radix_gs(m_band: int) -> int:
+    """Block-descent radix for a band of ``m_band`` 128-row blocks (static
+    per compile; module-level so tests can force the wide-radix paths on
+    small CPU fixtures)."""
+    return 32 if m_band <= 1024 else (64 if m_band <= 4096 else 128)
+
+
 def _searchsorted_radix(vals, targets):
     """``searchsorted(vals, targets, side='left')`` for sorted int32 ``vals``.
 
@@ -496,15 +503,17 @@ def _query_core(
     if stop_stage == "resolve_pre":
         return _probe(q_safe, r_q)
 
-    # Band block within the query: a 32-ary radix descent instead of a binary
+    # Band block within the query: a radix descent instead of a binary
     # search. The binary search costs log2(M_band) DEPENDENT per-element
     # [P]-gathers (~16 ms/batch at M_band~1000). Each radix level instead
-    # fetches ONE 32-int32 group row per slot — expressed as a ROW gather
+    # fetches ONE GS-int32 group row per slot — expressed as a ROW gather
     # (major-axis indexing with the minor dim intact), which XLA lowers as a
-    # slice fetch per row rather than 32 scalar gathers — and resolves the
-    # child with in-register compare-sums. ceil(log32(M_band)) row gathers
-    # total: banding keeps M_band small even for million-row lexicons.
-    GS = 32
+    # slice fetch per row rather than GS scalar gathers — and resolves the
+    # child with in-register compare-sums. The radix GS adapts to the band
+    # so the descent stays at TWO dependent row-gathers up to 2M band rows
+    # (a third level measured ~5 ms/batch at the 1M design point); wider
+    # rows only grow the cheap in-register compare-sums.
+    GS = _radix_gs(M_band)
     counts_q = counts_t.T  # [B, M_band] (small; masks arrive q-major already)
     tables = []  # level tables: [B * n_groups, GS] within-group incl. cumsums
     counts_l = counts_q

@@ -604,7 +604,8 @@ def sharded_1m():
     )
     batch = min(2048, pipe.max_B)  # see build_1m: optimal at 1M single-chip
     pipe.collect(pipe.submit(queries[:batch], params))  # compile
-    pipe.collect(pipe.submit(queries[:batch], params))  # settle budgets
+    for _ in range(1 + pipe.DEESC_N):  # settle budgets incl. deesc recompile
+        pipe.collect(pipe.submit(queries[:batch], params))
     batches = [queries[i : i + batch] for i in range(0, len(queries), batch)]
     t0 = time.time()
     done = 0

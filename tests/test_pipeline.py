@@ -524,3 +524,27 @@ def test_window_split_ratio_thresholds(eng_model):
         _bucket(min(len(q) * 3 // 10, 12), WINDOW_BUCKETS) for q in queries
     }
     assert len(k_eds) > 1
+
+
+@pytest.mark.parametrize("gs", [64, 128])
+def test_wide_radix_block_descent(eng_model, monkeypatch, gs):
+    """The adaptive block-descent radix (GS=64/128 for >=1024-block bands,
+    pipeline._radix_gs) must stay bit-identical to the oracle; CPU fixtures
+    have small bands, so force the wide radix."""
+    import analiticcl_tpu.ops.pipeline as plmod
+
+    monkeypatch.setattr(plmod, "_radix_gs", lambda m: gs)
+    params = SearchParameters(
+        max_anagram_distance=DistanceThreshold.absolute(3),
+        max_edit_distance=DistanceThreshold.absolute(2),
+        max_matches=10,
+        score_threshold=0.25,
+    )
+    eng_model.set_backend("oracle")
+    want = [eng_model.find_variants(q, params) for q in QUERIES]
+    eng_model.set_backend("device")
+    eng_model._device = None  # fresh pipeline: recompile with the forced GS
+    got = eng_model.find_variants_batch(QUERIES, params)
+    eng_model._device = None  # don't leak the forced-GS pipeline
+    for q, w, g in zip(QUERIES, want, got):
+        assert _result_tuples(eng_model, g) == _result_tuples(eng_model, w), q
