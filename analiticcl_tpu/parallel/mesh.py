@@ -223,10 +223,9 @@ class ShardedPipeline(DevicePipeline):
             # varying-manual-axes analysis (outputs are explicitly combined)
             check_vma=False,
             in_specs=idx_specs + q_specs + band_specs + rep_specs,
-            out_specs=(
-                P(("dp", "lex")),  # per-shard packed int32 buffer
-                P("dp"),  # max_freq (pmax over lex)
-            ),
+            # ONE per-shard packed int32 buffer: a second fetched array costs
+            # a second host sync (~25 ms on the remote helper) every batch
+            out_specs=P(("dp", "lex")),
         )
         def step(
             bins, cc, validrows, norms2, norm_lens, freqs, first_lower,
@@ -251,8 +250,9 @@ class ShardedPipeline(DevicePipeline):
             B_global = B_local * self.n_dp
             o_q = jnp.where(o_q < B_local, o_q + dp_i * B_local, B_global)
             o_c = o_c + lex_i * Ni_shard
-            # combine per-query stats across lexicon shards over ICI
-            max_freq = jax.lax.pmax(max_freq, "lex")
+            if have_freq:
+                # combine per-query stats across lexicon shards over ICI
+                max_freq = jax.lax.pmax(max_freq, "lex")
 
             # pack this shard's outputs into ONE flat int32 buffer (same
             # motivation as pipeline._pack_query_out: every fetched array
@@ -269,16 +269,20 @@ class ShardedPipeline(DevicePipeline):
                 m32 = jax.lax.bitcast_convert_type(m.reshape(-1, 4), jnp.int32)
             else:
                 m32 = m
-            buf = jnp.concatenate(
-                [
-                    bounds,
-                    o_c,
-                    m32,
-                    jnp.reshape(total_match, (1,)).astype(jnp.int32),
-                    jnp.reshape(total_keep, (1,)).astype(jnp.int32),
-                ]
-            )
-            return buf, max_freq
+            parts = [
+                bounds,
+                o_c,
+                m32,
+                jnp.reshape(total_match, (1,)).astype(jnp.int32),
+                jnp.reshape(total_keep, (1,)).astype(jnp.int32),
+            ]
+            if have_freq:
+                # ride the single buffer (replicated across lex after pmax;
+                # the host reads lex shard 0's copy per dp row). Without
+                # frequencies the normalization max is constant 1 and
+                # travels as nothing at all.
+                parts.append(jax.lax.bitcast_convert_type(max_freq, jnp.int32))
+            return jnp.concatenate(parts)
 
         fn = jax.jit(step)
         self._sharded_cache[key] = fn
@@ -383,30 +387,30 @@ class ShardedPipeline(DevicePipeline):
             P, P2, window, nb_band, use_stop_exact,
             bool(self.model.have_freq),
         )
-        buf, max_freq = fn(
+        buf = fn(
             *self._idx,
             q_counts, q_cc, q_norms, q_lens, q_first_lower, k_ana,
             k_ed, k_len, stop_exact, start_blk, weights, score_threshold,
         )
         try:
             buf.copy_to_host_async()
-            max_freq.copy_to_host_async()
         except AttributeError:
             pass
-        return (buf, max_freq, B, P2)
+        return (buf, B, P2)
 
     def _finalize_fused(self, out):
-        """TWO device fetches (packed per-shard buffers + max_freq) instead
-        of ten; per-shard numpy unpacking mirrors the single-device
-        :meth:`DevicePipeline._finalize_fused`."""
-        buf, max_freq, B, P2 = out
+        """ONE device fetch (the packed per-shard buffers, max_freq riding
+        behind the totals when the model has frequencies); per-shard numpy
+        unpacking mirrors :meth:`DevicePipeline._finalize_fused`."""
+        buf, B, P2 = out
         host = np.asarray(jax.device_get(buf))
-        max_freq = np.asarray(jax.device_get(max_freq)).view(np.uint32)
         nsh = self.n_dp * self.n_lex
         L_buf = host.shape[0] // nsh
         n8 = 5 * P2
         nw = (n8 + 3) // 4 if self.L < 256 else n8
-        parts_q, parts_c, parts_m = [], [], []
+        have_freq = bool(self.model.have_freq)
+        B_local = B // self.n_dp
+        parts_q, parts_c, parts_m, parts_mf = [], [], [], []
         total_match = total_keep = 0
         for s in range(nsh):
             sh = host[s * L_buf : (s + 1) * L_buf]
@@ -430,9 +434,18 @@ class ShardedPipeline(DevicePipeline):
             # overflow checks are per (dp, lex) shard
             total_match = max(total_match, int(sh[off]))
             total_keep = max(total_keep, int(sh[off + 1]))
+            if have_freq and s % self.n_lex == 0:  # lex shard 0 per dp row
+                parts_mf.append(
+                    sh[off + 2 : off + 2 + B_local].view(np.uint32)
+                )
         o_q = np.concatenate(parts_q)
         o_c = np.concatenate(parts_c)
         o_ld, o_lcs, o_pf, o_sf, o_case = np.concatenate(parts_m, axis=1)
+        max_freq = (
+            np.concatenate(parts_mf)
+            if have_freq
+            else np.ones(B, dtype=np.uint32)
+        )
         return (
             o_q, o_c, o_ld, o_lcs, o_pf, o_sf, o_case, max_freq,
             total_match, total_keep,
