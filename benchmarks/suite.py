@@ -607,11 +607,19 @@ def sharded_1m():
     for _ in range(1 + pipe.DEESC_N):  # settle budgets incl. deesc recompile
         pipe.collect(pipe.submit(queries[:batch], params))
     batches = [queries[i : i + batch] for i in range(0, len(queries), batch)]
+
+    def batch_cycle():
+        # ONE continuous stream (restarting the stream per pass pays the
+        # pipeline fill/drain every 2 batches — measured ~35% of wall here)
+        while True:
+            yield from batches
+
     t0 = time.time()
     done = 0
-    while time.time() - t0 < BUDGET_S:
-        for res in pipe.find_variants_stream(batches, params):
-            done += len(res)
+    for res in pipe.find_variants_stream(batch_cycle(), params):
+        done += len(res)
+        if done % len(queries) == 0 and time.time() - t0 > BUDGET_S:
+            break
     qps = done / (time.time() - t0)
     return {
         "scenario": "sharded_1m",
