@@ -184,6 +184,18 @@ class SearchParameters:
     consolidate_matches: bool = True
     unicodeoffsets: bool = False
 
+    def __post_init__(self):
+        # Accept the same loose threshold spellings as the reference's Python
+        # binding (int = absolute, float = ratio, "r;limit" strings) directly
+        # on the core dataclass, so SearchParameters(max_edit_distance=2)
+        # works from the package root, not only via api.SearchParameters.
+        if not isinstance(self.max_anagram_distance, DistanceThreshold):
+            self.max_anagram_distance = DistanceThreshold.parse(
+                self.max_anagram_distance
+            )
+        if not isinstance(self.max_edit_distance, DistanceThreshold):
+            self.max_edit_distance = DistanceThreshold.parse(self.max_edit_distance)
+
     # --- builder-style helpers (reference types.rs:214-287) ---
     def with_edit_distance(self, d) -> "SearchParameters":
         return dataclasses.replace(self, max_edit_distance=DistanceThreshold.parse(d))

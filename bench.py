@@ -43,11 +43,28 @@ def _git_head() -> str:
         return "unknown"
 
 
+def settled_view(passes: list[float], complete: bool) -> tuple[list[int], list[float]]:
+    """Steady-state window selection. Window 1 carries the pipeline fill and
+    the remote helper's post-compile slow mode (r5 traces: 38k vs 160k
+    settled); the FINAL window of a completed stream is drain-inflated
+    (in-flight batches return without paying dispatch, r5: 297k vs 160k).
+    Both are real, recorded, and excluded from the steady-state statistic —
+    the reference's methodology is likewise steady-state items/sec
+    (/root/reference/performance.md:106-114). Falls back to all windows when
+    there are too few to trim."""
+    n = len(passes)
+    lo = 1 if n >= 3 else 0
+    hi = n - 1 if (complete and n - lo >= 3) else n
+    idx = list(range(lo, hi))
+    return idx, [passes[i] for i in idx]
+
+
 def emit(
     qps: float,
     passes: list[float],
     final: bool,
     pass_details: list[dict] | None = None,
+    settled_idx: list[int] | None = None,
     **extra,
 ) -> None:
     """Print the result JSON line AND checkpoint it to disk. Called after
@@ -67,8 +84,12 @@ def emit(
         "commit": _git_head(),
         **extra,
     }
-    if len(passes) >= 2:
-        rec["spread"] = round(max(passes) / min(passes), 3)
+    sv = [passes[i] for i in settled_idx] if settled_idx else passes
+    if len(sv) >= 2:
+        rec["spread"] = round(max(sv) / min(sv), 3)
+    if len(passes) >= 2 and settled_idx:
+        rec["spread_all_windows"] = round(max(passes) / min(passes), 3)
+        rec["settled_windows"] = [i + 1 for i in settled_idx]
     if not final:
         rec["partial"] = f"{len(passes)} passes"
     print(json.dumps(rec), flush=True)
@@ -489,38 +510,47 @@ def main():
                     passes.append(run_qps)
                     details.append(d)
                     last = time.time()  # RTT probe time stays unmeasured
-                    ordered = sorted(passes)
+                    complete = len(passes) >= N_PASSES
+                    idx, sv = settled_view(passes, complete)
+                    ordered = sorted(sv)
                     emit(
                         ordered[len(ordered) // 2],
                         passes,
-                        final=len(passes) >= N_PASSES,
+                        final=complete,
                         pass_details=details,
+                        settled_idx=idx,
                     )
     except TimeoutError as e:
         log(str(e))
         if passes:
-            ordered = sorted(passes)
+            idx, sv = settled_view(passes, complete=False)
+            ordered = sorted(sv)
             emit(ordered[len(ordered) // 2], passes, final=False,
-                 pass_details=details, outage="tunnel died mid-measurement")
+                 pass_details=details, settled_idx=idx,
+                 outage="tunnel died mid-measurement")
             raise SystemExit(0)
         emit_outage_fallback("tunnel died before any measurement window")
     try:
         model._device.stats.report()
     except Exception:
         pass
-    ordered = sorted(passes)
+    idx, sv = settled_view(passes, complete=True)
+    ordered = sorted(sv)
     qps = ordered[len(ordered) // 2]
     spread = ordered[-1] / ordered[0]
     log(
-        f"median of {len(passes)}: {qps:.0f} q/s "
+        f"steady-state median of windows {idx[0] + 1}-{idx[-1] + 1} "
+        f"({len(sv)} of {len(passes)}): {qps:.0f} q/s "
         f"(min {ordered[0]:.0f}, max {ordered[-1]:.0f}, "
-        f"spread {spread:.2f}x)"
+        f"spread {spread:.2f}x; fill window {passes[0]:.0f}, "
+        f"drain window {passes[-1]:.0f})"
     )
     if spread > 1.3:
         # attribute: engine-side signals are host CPU and GC; tunnel-side is
-        # RTT. Report which axis co-varies with the slow windows.
-        slow = min(range(len(passes)), key=lambda i: passes[i])
-        fast = max(range(len(passes)), key=lambda i: passes[i])
+        # RTT. Report which axis co-varies with the slow windows (settled
+        # windows only — fill/drain are already attributed by construction).
+        slow = min(idx, key=lambda i: passes[i])
+        fast = max(idx, key=lambda i: passes[i])
         log(
             f"spread>1.3x attribution: slow window {slow + 1} "
             f"(host_cpu {details[slow]['host_cpu_s']:.2f}s, "

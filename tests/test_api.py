@@ -71,6 +71,30 @@ def test_searchparameters_kwargs_and_threshold_coercion():
     assert d["max_matches"] == 7
 
 
+def test_core_searchparameters_coerces_loose_thresholds():
+    # the CORE dataclass (package root), not the api wrapper: loose int /
+    # float / "r;limit" threshold spellings must coerce in __post_init__
+    # instead of crashing deep in the pipeline (round-5 verify finding)
+    from analiticcl_tpu.types import (
+        DistanceThreshold,
+        SearchParameters as CoreParams,
+        ThresholdKind,
+    )
+
+    p = CoreParams(max_edit_distance=2, max_anagram_distance="0.3;5")
+    assert isinstance(p.max_edit_distance, DistanceThreshold)
+    assert p.max_edit_distance.kind is ThresholdKind.ABSOLUTE
+    assert p.max_edit_distance.limit == 2
+    assert p.max_anagram_distance.kind is ThresholdKind.RATIO_WITH_LIMIT
+    assert p.max_anagram_distance.ratio == pytest.approx(0.3)
+    assert p.max_anagram_distance.limit == 5
+    q = CoreParams(max_edit_distance=0.5)
+    assert q.max_edit_distance.kind is ThresholdKind.RATIO
+    # already-typed thresholds pass through untouched
+    t = DistanceThreshold.absolute(4)
+    assert CoreParams(max_edit_distance=t).max_edit_distance is t
+
+
 def test_vocabparams_kwargs():
     vp = VocabParams(text_column=2, freq_column=None, vocabtype="LM", freqhandling="sum")
     assert vp.text_column == 2
