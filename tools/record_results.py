@@ -44,9 +44,16 @@ def main() -> int:
     # per-scenario commit hashes live in the scenario lines themselves (the
     # suite stamps each line at emission); the top-level stamp records when
     # and at what HEAD this file was assembled
+    def _same_commit(a, b):
+        # hashes may be abbreviated to different lengths; compare prefixes
+        if not a or not b:
+            return a == b
+        return a.startswith(b) or b.startswith(a)
+
     stale = sorted(
         {s["scenario"] for s in scenarios.values()
-         if s.get("commit") not in (None, out["commit"])}
+         if s.get("commit") is not None
+         and not _same_commit(s["commit"], out["commit"])}
     )
     if stale:
         out["scenarios_not_at_head"] = stale
