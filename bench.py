@@ -44,17 +44,23 @@ def _git_head() -> str:
 
 
 def settled_view(passes: list[float], complete: bool) -> tuple[list[int], list[float]]:
-    """Steady-state window selection. Window 1 carries the pipeline fill and
-    the remote helper's post-compile slow mode (r5 traces: 38k vs 160k
-    settled); the FINAL window of a completed stream is drain-inflated
-    (in-flight batches return without paying dispatch, r5: 297k vs 160k).
-    Both are real, recorded, and excluded from the steady-state statistic —
-    the reference's methodology is likewise steady-state items/sec
-    (/root/reference/performance.md:106-114). Falls back to all windows when
-    there are too few to trim."""
+    """Steady-state window selection. Leading windows carry the pipeline
+    fill and the remote helper's post-compile slow mode — whose LENGTH
+    varies run to run (r5 traces: one run ramped 38k -> 160k in one window,
+    another 0.5k -> 35k -> 159k over two); the FINAL window of a completed
+    stream is drain-inflated (in-flight batches return without paying
+    dispatch, r5: 297k vs 160k). The plateau is detected from the data:
+    drop leading windows below 70% of the median of the last three, and the
+    drain window of a completed stream. Everything stays recorded; only the
+    statistic is steady-state — the reference's methodology is likewise
+    steady-state items/sec (/root/reference/performance.md:106-114)."""
     n = len(passes)
-    lo = 1 if n >= 3 else 0
-    hi = n - 1 if (complete and n - lo >= 3) else n
+    hi = n - 1 if (complete and n >= 4) else n
+    lo = 0
+    if hi >= 3:
+        tail = sorted(passes[hi - 3:hi])[1]  # median of the last 3 settled
+        while lo < hi - 2 and passes[lo] < 0.7 * tail:
+            lo += 1
     idx = list(range(lo, hi))
     return idx, [passes[i] for i in idx]
 
